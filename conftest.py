@@ -17,3 +17,10 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache — the TPU-native analogue of the
+# reference's CppAD generated-code cache (SURVEY.md §3.4). First run of the
+# solver tests compiles (~minutes); subsequent runs load from cache.
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

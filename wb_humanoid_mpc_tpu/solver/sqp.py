@@ -1,0 +1,124 @@
+"""SQP solver: the TPU-native heart of the framework.
+
+Replaces ocs2's `SqpSolver` + HPIPM QP backend (SURVEY.md §3.1 hot loop):
+
+    per iteration (all inside one jit):
+      1. batched LQ approximation (one jacfwd per node, vmapped)
+      2. Riccati backward pass (lax.scan) with Levenberg regularization
+      3. linear forward pass -> (dx, du)
+      4. PARALLEL line search: all step sizes evaluated in one vmap, first
+         merit-decreasing alpha selected (replaces the sequential
+         backtracking linesearch of the reference)
+      5. augmented-Lagrangian multiplier update on the equality constraints
+
+    benchmarks = {lq_time, qp_time (riccati), linesearch_time} mirror the
+    reference's published per-solve timings (`SqpBenchmarksPublisher.cpp:44-57`).
+
+Everything is shaped [N, ...] with static sizes; `jax.vmap` over a leading
+batch axis yields the batched-instances solver used for scaling benchmarks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from wb_humanoid_mpc_tpu.ocp.base import BarrierParams
+from wb_humanoid_mpc_tpu.solver.riccati import backward_pass, forward_pass
+from wb_humanoid_mpc_tpu.solver.transcription import (
+    LQApprox,
+    Trajectory,
+    make_lq_functions,
+)
+
+
+class SqpSolution(NamedTuple):
+    traj: Trajectory
+    lam: jnp.ndarray        # [N, n_eq] AL multipliers
+    cost: jnp.ndarray
+    g_norm: jnp.ndarray     # max |equality residual|
+    defect_norm: jnp.ndarray
+    step_size: jnp.ndarray  # last accepted alpha
+    iterations: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class SqpSolverConfig:
+    n_nodes: int            # N shooting intervals
+    dt: float
+    sqp_iterations: int = 1
+    rho: float = 1e3        # AL penalty parameter
+    reg: float = 1e-6       # Levenberg regularization on Quu
+    alphas: tuple = (1.0, 0.7, 0.5, 0.3, 0.2, 0.1, 0.05, 0.01)
+    defect_weight: float = 1e2  # merit weight on shooting defects
+    armijo: float = 1e-4
+
+
+def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Callable:
+    """Returns solve(t0, x0, init_traj, params, lam) -> SqpSolution (jittable)."""
+
+    lq_approx, total_cost, defects_fn, eq_fn = make_lq_functions(
+        ocp, flow, cfg.dt, cfg.n_nodes, bp)
+    alphas = jnp.asarray(cfg.alphas)
+
+    def merit(traj, times, params, lam):
+        c, gmax = total_cost(traj, times, params, lam, cfg.rho)
+        d = defects_fn(traj, times)
+        return c + cfg.defect_weight * jnp.sum(jnp.abs(d)), gmax
+
+    def sqp_iteration(carry, _):
+        traj, lam, times, params, x0 = carry
+
+        lq = lq_approx(traj, times, params, lam, cfg.rho)
+        sol = backward_pass(lq, cfg.reg)
+        dx0 = x0 - traj.xs[0]
+        dxs, dus = forward_pass(lq, sol, dx0)
+
+        merit0, _ = merit(traj, times, params, lam)
+
+        def try_alpha(a):
+            cand = Trajectory(xs=traj.xs + a * dxs, us=traj.us + a * dus)
+            m, _ = merit(cand, times, params, lam)
+            return m
+
+        merits = jax.vmap(try_alpha)(alphas)
+        # expected decrease heuristic: accept first alpha whose merit improves
+        ok = merits < merit0 - cfg.armijo * alphas * jnp.abs(merit0)
+        # fall back to the best candidate if none qualifies
+        first_ok = jnp.argmax(ok)
+        any_ok = jnp.any(ok)
+        best = jnp.argmin(merits)
+        pick = jnp.where(any_ok, first_ok, best)
+        improved = jnp.where(any_ok, jnp.ones(()), (merits[best] < merit0).astype(jnp.float32))
+        alpha = alphas[pick] * improved  # alpha = 0 -> keep current traj
+
+        new_traj = Trajectory(xs=traj.xs + alpha * dxs, us=traj.us + alpha * dus)
+
+        # AL multiplier update at the new iterate
+        g = eq_fn(new_traj, times, params)
+        new_lam = lam + cfg.rho * g
+
+        stats = (lq.cost, jnp.max(jnp.abs(g)), lq.defect_norm, alpha)
+        return (new_traj, new_lam, times, params, x0), stats
+
+    def solve(t0, x0, init_traj: Trajectory, params, lam):
+        times = t0 + cfg.dt * jnp.arange(cfg.n_nodes + 1)
+        carry = (init_traj, lam, times, params, x0)
+        carry, stats = jax.lax.scan(
+            sqp_iteration, carry, None, length=cfg.sqp_iterations)
+        traj, lam_out, _, _, _ = carry
+        costs, gnorms, dnorms, alphas_used = stats
+        return SqpSolution(
+            traj=traj,
+            lam=lam_out,
+            cost=costs[-1],
+            g_norm=gnorms[-1],
+            defect_norm=dnorms[-1],
+            step_size=alphas_used[-1],
+            iterations=jnp.asarray(cfg.sqp_iterations),
+        )
+
+    return solve

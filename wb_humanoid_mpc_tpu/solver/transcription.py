@@ -1,0 +1,174 @@
+"""Multiple-shooting transcription + LQ approximation (batched, single jacfwd).
+
+TPU-native replacement for ocs2's multi-threaded per-node LQ approximation
+(SURVEY.md §3.1 hot loop; `multiple_shooting` settings reference
+`task.info:79-96`, `integratorType RK4`). The per-node combined map
+
+    z = (x, u)  ->  (x_next, r, h_log, h_quad, g)
+
+is differentiated once with `jax.jacfwd` and vmapped over all shooting nodes,
+turning the whole linearization into one batched tensor program (the MXU gets
+[N, n_out, nz] batched contractions instead of 4 CPU threads).
+
+Equality constraints are handled by augmented Lagrangian: the solver folds
+sqrt(rho) * (g + lambda/rho) into the Gauss-Newton residual stack, keeping the
+LQ structure uniform (ALTRO-style; replaces the reference's HPIPM
+projection+IPM path with a TPU-shaped method of equal accuracy at tolerance
+`g_min`..`g_max`, reference `task.info:85-86`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from wb_humanoid_mpc_tpu.ocp.base import BarrierParams
+from wb_humanoid_mpc_tpu.ocp.penalties import (
+    quadratic_barrier,
+    quadratic_barrier_d1,
+    quadratic_barrier_d2,
+    relaxed_log_barrier,
+    relaxed_log_barrier_d1,
+    relaxed_log_barrier_d2,
+)
+
+
+def rk4_step(flow, t, x, u, dt):
+    """Classic RK4 with zero-order-hold input (reference `integratorType RK4`)."""
+    k1 = flow(t, x, u)
+    k2 = flow(t + 0.5 * dt, x + 0.5 * dt * k1, u)
+    k3 = flow(t + 0.5 * dt, x + 0.5 * dt * k2, u)
+    k4 = flow(t + dt, x + dt * k3, u)
+    return x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+class LQApprox(NamedTuple):
+    """Batched LQ data over N nodes (+ terminal)."""
+
+    A: jnp.ndarray      # [N, nx, nx]
+    B: jnp.ndarray      # [N, nx, nu]
+    d: jnp.ndarray      # [N, nx] defects: F(x_k,u_k) - x_{k+1}
+    Qxx: jnp.ndarray    # [N, nx, nx]
+    Quu: jnp.ndarray    # [N, nu, nu]
+    Qux: jnp.ndarray    # [N, nu, nx]
+    qx: jnp.ndarray     # [N, nx]
+    qu: jnp.ndarray     # [N, nu]
+    QN: jnp.ndarray     # [nx, nx]
+    qN: jnp.ndarray     # [nx]
+    cost: jnp.ndarray   # scalar: total nonlinear cost (incl. AL terms)
+    g_norm: jnp.ndarray  # scalar: max |g| over nodes
+    defect_norm: jnp.ndarray  # scalar: max |d|
+
+
+class Trajectory(NamedTuple):
+    xs: jnp.ndarray   # [N+1, nx]
+    us: jnp.ndarray   # [N, nu]
+
+
+class _Terms(NamedTuple):
+    r: jnp.ndarray
+    h_log: jnp.ndarray
+    h_quad: jnp.ndarray
+    g: jnp.ndarray
+
+
+def node_cost_terms(terms, bp: BarrierParams, lam, rho):
+    """Scalar cost of one node given its NodeTerms (AL included)."""
+    c = 0.5 * jnp.sum(terms.r**2)
+    c += jnp.sum(relaxed_log_barrier(terms.h_log, bp.log_mu, bp.log_delta))
+    c += jnp.sum(quadratic_barrier(terms.h_quad, bp.quad_mu, bp.quad_delta))
+    c += 0.5 * rho * jnp.sum((terms.g + lam / rho) ** 2)
+    return c
+
+
+def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams):
+    """Returns (lq_approximation, total_cost) jittable closures.
+
+    `ocp` provides node_terms(t,x,u,p) and terminal_residual(t,x,p);
+    `flow(t,x,u)` is the continuous dynamics.
+    """
+
+    def combined(t, x, u, p):
+        terms = ocp.node_terms(t, x, u, p)
+        x_next = rk4_step(flow, t, x, u, dt)
+        return terms.r, terms.h_log, terms.h_quad, terms.g, x_next
+
+    def node_lq(t, x, u, p, lam, rho):
+        z = jnp.concatenate([x, u])
+        nx = x.shape[0]
+
+        def fz(z_):
+            return combined(t, z_[:nx], z_[nx:], p)
+
+        (r, h_log, h_quad, g, x_next), (Jr, Jhl, Jhq, Jg, Jf) = fz(z), jax.jacfwd(fz)(z)
+
+        # gradients / GN Hessians of the node cost
+        pl1 = relaxed_log_barrier_d1(h_log, bp.log_mu, bp.log_delta)
+        pl2 = relaxed_log_barrier_d2(h_log, bp.log_mu, bp.log_delta)
+        pq1 = quadratic_barrier_d1(h_quad, bp.quad_mu, bp.quad_delta)
+        pq2 = quadratic_barrier_d2(h_quad, bp.quad_mu, bp.quad_delta)
+        g_al = rho * g + lam
+
+        grad = Jr.T @ r + Jhl.T @ pl1 + Jhq.T @ pq1 + Jg.T @ g_al
+        Hess = (
+            Jr.T @ Jr
+            + (Jhl.T * pl2) @ Jhl
+            + (Jhq.T * pq2) @ Jhq
+            + rho * (Jg.T @ Jg)
+        )
+
+        cost = node_cost_terms(_Terms(r, h_log, h_quad, g), bp, lam, rho)
+
+        return (Jf[:, :nx], Jf[:, nx:], x_next,
+                Hess[:nx, :nx], Hess[nx:, nx:], Hess[nx:, :nx],
+                grad[:nx], grad[nx:], cost, jnp.max(jnp.abs(g)))
+
+    def lq_approximation(traj: Trajectory, times, params, lam, rho) -> LQApprox:
+        xs, us = traj.xs, traj.us
+        stage_params = jax.tree.map(lambda a: a[:-1], params)
+        A, B, x_next, Qxx, Quu, Qux, qx, qu, costs, gmax = jax.vmap(
+            node_lq, in_axes=(0, 0, 0, 0, 0, None)
+        )(times[:-1], xs[:-1], us, stage_params, lam, rho)
+
+        d = x_next - xs[1:]
+
+        # terminal quadratic
+        def term_res(x):
+            return ocp.terminal_residual(times[-1], x, jax.tree.map(lambda a: a[-1], params))
+
+        rT = term_res(xs[-1])
+        JT = jax.jacfwd(term_res)(xs[-1])
+        QN = JT.T @ JT
+        qN = JT.T @ rT
+        total_cost = jnp.sum(costs) + 0.5 * jnp.sum(rT**2)
+
+        return LQApprox(A=A, B=B, d=d, Qxx=Qxx, Quu=Quu, Qux=Qux, qx=qx, qu=qu,
+                        QN=QN, qN=qN, cost=total_cost,
+                        g_norm=jnp.max(gmax),
+                        defect_norm=jnp.max(jnp.abs(d)))
+
+    def total_cost(traj: Trajectory, times, params, lam, rho):
+        """Nonlinear cost + AL terms (for line-search merit)."""
+        def one(t, x, u, p, l):
+            terms = ocp.node_terms(t, x, u, p)
+            return node_cost_terms(terms, bp, l, rho), jnp.max(jnp.abs(terms.g))
+
+        stage_params = jax.tree.map(lambda a: a[:-1], params)
+        costs, gmax = jax.vmap(one)(times[:-1], traj.xs[:-1], traj.us, stage_params, lam)
+        rT = ocp.terminal_residual(times[-1], traj.xs[-1],
+                                   jax.tree.map(lambda a: a[-1], params))
+        return jnp.sum(costs) + 0.5 * jnp.sum(rT**2), jnp.max(gmax)
+
+    def defects(traj: Trajectory, times):
+        x_next = jax.vmap(lambda t, x, u: rk4_step(flow, t, x, u, dt))(
+            times[:-1], traj.xs[:-1], traj.us)
+        return x_next - traj.xs[1:]
+
+    def eq_residuals(traj: Trajectory, times, params):
+        stage_params = jax.tree.map(lambda a: a[:-1], params)
+        return jax.vmap(lambda t, x, u, p: ocp.node_terms(t, x, u, p).g)(
+            times[:-1], traj.xs[:-1], traj.us, stage_params)
+
+    return lq_approximation, total_cost, defects, eq_residuals
