@@ -156,6 +156,8 @@ def as_matrix(block: dict, n: int, m: int | None = None, apply_scaling: bool = T
         if not mm:
             continue
         i, j = int(mm.group(1)), int(mm.group(2))
+        if i >= n or (m is not None and j >= m):
+            continue  # caller probed with a smaller size; ignore excess entries
         if m is None:
             out[i] = float(v)
         else:
