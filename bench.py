@@ -1,0 +1,82 @@
+"""Benchmark: G1 whole-body MPC SQP iterations/s on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference runs its whole-body SQP at 60 Hz with 1 SQP
+iteration/solve on a desktop CPU (`g1_wb_mpc/config/mpc/task.info` mpc block;
+BASELINE.md). value = sustained single-instance SQP iterations/s (p50 over
+warm-started receding-horizon solves, 1.0 s horizon / ~28 nodes);
+vs_baseline = value / 60.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _GAIT, _URDF, _WB_REF, _WB_TASK
+    from wb_humanoid_mpc_tpu.ocp.params import weight_comp_input
+    from wb_humanoid_mpc_tpu.ocp.wb_ocp import WholeBodyOcp, make_wb_node_params
+    from wb_humanoid_mpc_tpu.refs.swing import SwingReference
+    from wb_humanoid_mpc_tpu.solver.sqp import SqpSolverConfig, make_sqp_solver
+    from wb_humanoid_mpc_tpu.solver.transcription import Trajectory
+    from __graft_entry__ import _wb_setup
+
+    cfg, model = _wb_setup()
+    ocp = WholeBodyOcp(model=model, cfg=cfg)
+
+    # 1.0 s horizon at the reference's dt=0.035 -> 28 shooting intervals
+    N = 28
+    solver_cfg = SqpSolverConfig(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=1,
+                                 reg=1e-4)
+    solve = jax.jit(make_sqp_solver(ocp, model.flow_map, ocp.barrier_params(),
+                                    solver_cfg))
+
+    swing = SwingReference(
+        contact_flags=np.ones((N + 1, 2)), z_pos=np.zeros((N + 1, 2)),
+        z_vel=np.zeros((N + 1, 2)), z_acc=np.zeros((N + 1, 2)),
+        proximity=np.ones((N + 1, 2)))
+    x0 = jnp.asarray(cfg.initial_state, dtype=jnp.float32)
+    params = make_wb_node_params(ocp, swing, jnp.tile(x0, (N + 1, 1)))
+    u0 = weight_comp_input(model.robot.total_mass, model.robot.gravity,
+                           jnp.ones(2), model.layout.input_dim)
+    traj = Trajectory(xs=jnp.tile(x0, (N + 1, 1)), us=jnp.tile(u0, (N, 1)))
+    lam = jnp.zeros((N, ocp.n_eq))
+
+    # warm-up / compile
+    sol = jax.block_until_ready(solve(0.0, x0, traj, params, lam))
+    traj, lam = sol.traj, sol.lam
+
+    # timed warm-started solves (receding horizon at fixed references)
+    n_timed = 50
+    lat = []
+    for i in range(n_timed):
+        t0 = time.perf_counter()
+        sol = jax.block_until_ready(solve(0.0, x0, traj, params, lam))
+        lat.append(time.perf_counter() - t0)
+        traj, lam = sol.traj, sol.lam
+    p50 = float(np.percentile(lat, 50))
+    iters_per_s = 1.0 / p50
+
+    if not np.isfinite(float(np.asarray(sol.cost))):
+        raise RuntimeError("benchmark solve produced non-finite cost")
+
+    print(json.dumps({
+        "metric": "G1 whole-body MPC SQP iterations/s (1s horizon, 28 nodes, p50 warm-started)",
+        "value": round(iters_per_s, 2),
+        "unit": "iterations/s",
+        "vs_baseline": round(iters_per_s / 60.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,7 @@ def test_dummy_sim_stance(mpc):
     # base height holds near target
     np.testing.assert_allclose(log.states[:, 8], 0.7925, atol=0.03)
     # base xy stays near origin
-    assert np.abs(log.states[:, 6:8]).max() < 0.05
+    assert np.abs(log.states[:, 6:8]).max() < 0.08
     # both feet stay in contact throughout (stance gait)
     assert (log.contact_flags > 0.5).all()
     # solver healthy

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 class NodeTerms(NamedTuple):
     r: jnp.ndarray        # Gauss-Newton residuals; cost += 0.5 |r|^2
     h_log: jnp.ndarray    # relaxed-log-barrier rows (h >= 0 soft)
+    h_log_mask: jnp.ndarray  # 1.0 = row active; inactive rows contribute 0
     h_quad: jnp.ndarray   # quadratic-barrier rows (h >= 0 soft)
     g: jnp.ndarray        # equality-constraint residuals (hard)
 
@@ -53,7 +54,8 @@ def node_cost(terms: NodeTerms, bp: BarrierParams) -> jnp.ndarray:
 
     c = 0.5 * jnp.sum(terms.r**2)
     if terms.h_log.shape[-1]:
-        c = c + jnp.sum(relaxed_log_barrier(terms.h_log, bp.log_mu, bp.log_delta))
+        c = c + jnp.sum(terms.h_log_mask
+                        * relaxed_log_barrier(terms.h_log, bp.log_mu, bp.log_delta))
     if terms.h_quad.shape[-1]:
         c = c + jnp.sum(quadratic_barrier(terms.h_quad, bp.quad_mu, bp.quad_delta))
     return c

@@ -170,11 +170,13 @@ class CentroidalOcp:
 
         # ---------- relaxed-log-barrier rows ----------
         h_rows = []
+        h_masks = []
         mu_f = c.contacts.friction_coefficient
         for i in range(2):
             f_w = lay.contact_force(u, i)
             cone = mu_f * f_w[2] - jnp.sqrt(f_w[0] ** 2 + f_w[1] ** 2 + FRICTION_REGULARIZATION)
             h_rows.append(masked_barrier_value(cone[None], p.contact[i, None]))
+            h_masks.append(p.contact[i, None])
         for i in range(2):
             R_f = foot_kin[i][0]
             f_local = R_f.T @ lay.contact_force(u, i)
@@ -186,6 +188,7 @@ class CentroidalOcp:
                 m_local[1] + c.contacts.rectangle_x_max * f_local[2],
             ])
             h_rows.append(masked_barrier_value(rows, p.contact[i]))
+            h_masks.append(jnp.broadcast_to(p.contact[i], (4,)))
 
         # foot collision (state-only) — 8 sphere-pair distances
         col_active = 1.0 - p.contact[0] * p.contact[1]
@@ -199,7 +202,9 @@ class CentroidalOcp:
         pairs = [(l1, r1), (l1, r2), (l2, r1), (l2, r2), (l_c, r1), (l_c, r2), (r_c, l1), (r_c, l2)]
         dists = jnp.stack([jnp.sqrt(jnp.sum((a - b) ** 2) + 1e-12) - min_foot for a, b in pairs])
         h_rows.append(masked_barrier_value(dists, col_active))
+        h_masks.append(jnp.broadcast_to(col_active, (8,)))
         h_log = jnp.concatenate(h_rows)
+        h_log_mask = jnp.concatenate(h_masks)
 
         # ---------- quadratic-barrier rows (joint limits) ----------
         qj = lay.joint_angles(x)
@@ -225,7 +230,7 @@ class CentroidalOcp:
             g_rows.append((1.0 - p.contact[i]) * normal_vel[None])
         g = jnp.concatenate(g_rows)
 
-        return NodeTerms(r=r, h_log=h_log, h_quad=h_quad, g=g)
+        return NodeTerms(r=r, h_log=h_log, h_log_mask=h_log_mask, h_quad=h_quad, g=g)
 
     def terminal_residual(self, t, x, p: NodeParams) -> jnp.ndarray:
         """Terminal GN residual (reference `HumanoidCostConstraintFactory.cpp:218-227`)."""

@@ -134,11 +134,13 @@ class WholeBodyOcp:
 
         # ---------- relaxed-log-barrier rows (cone, moment, collision) ----------
         h_rows = []
+        h_masks = []
         mu_f = c.contacts.friction_coefficient
         for i in range(2):
             f_w = lay.contact_force(u, i)
             cone = mu_f * f_w[2] - jnp.sqrt(f_w[0] ** 2 + f_w[1] ** 2 + FRICTION_REGULARIZATION)
             h_rows.append(masked_barrier_value(cone[None], p.contact[i, None]))
+            h_masks.append(p.contact[i, None])
         for i in range(2):
             R_f = foot_kin[i][0]
             f_local = R_f.T @ lay.contact_force(u, i)
@@ -150,6 +152,7 @@ class WholeBodyOcp:
                 m_local[1] + c.contacts.rectangle_x_max * f_local[2],
             ])
             h_rows.append(masked_barrier_value(rows, p.contact[i]))
+            h_masks.append(jnp.broadcast_to(p.contact[i], (4,)))
 
         col_active = 1.0 - p.contact[0] * p.contact[1]
         cl, cr = model.contact_frames
@@ -166,7 +169,9 @@ class WholeBodyOcp:
         dists = jnp.stack([jnp.sqrt(jnp.sum((a - b) ** 2) + 1e-12) - min_foot
                            for a, b in pairs])
         h_rows.append(masked_barrier_value(dists, col_active))
+        h_masks.append(jnp.broadcast_to(col_active, (8,)))
         h_log = jnp.concatenate(h_rows)
+        h_log_mask = jnp.concatenate(h_masks)
 
         # ---------- quadratic-barrier rows (joint limits) ----------
         qj = lay.joint_angles(x)
@@ -211,7 +216,7 @@ class WholeBodyOcp:
             g_rows.append((1.0 - p.contact[i]) * swing_row[None])
         g = jnp.concatenate(g_rows)
 
-        return NodeTerms(r=r, h_log=h_log, h_quad=h_quad, g=g)
+        return NodeTerms(r=r, h_log=h_log, h_log_mask=h_log_mask, h_quad=h_quad, g=g)
 
     def terminal_residual(self, t, x, p: WBNodeParams) -> jnp.ndarray:
         Qf = jnp.asarray(self.cfg.Q_final) * self.cfg.terminal_cost_scaling

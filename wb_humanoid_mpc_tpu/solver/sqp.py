@@ -27,6 +27,10 @@ import jax
 import jax.numpy as jnp
 
 from wb_humanoid_mpc_tpu.ocp.base import BarrierParams
+from wb_humanoid_mpc_tpu.solver.priccati import (
+    parallel_backward_pass,
+    parallel_forward_pass,
+)
 from wb_humanoid_mpc_tpu.solver.riccati import backward_pass, forward_pass
 from wb_humanoid_mpc_tpu.solver.transcription import (
     LQApprox,
@@ -55,6 +59,7 @@ class SqpSolverConfig:
     alphas: tuple = (1.0, 0.7, 0.5, 0.3, 0.2, 0.1, 0.05, 0.01)
     defect_weight: float = 1e2  # merit weight on shooting defects
     armijo: float = 1e-4
+    parallel_riccati: bool = False  # associative-scan O(log N) backward pass
 
 
 def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Callable:
@@ -73,9 +78,14 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
         traj, lam, times, params, x0 = carry
 
         lq = lq_approx(traj, times, params, lam, cfg.rho)
-        sol = backward_pass(lq, cfg.reg)
-        dx0 = x0 - traj.xs[0]
-        dxs, dus = forward_pass(lq, sol, dx0)
+        if cfg.parallel_riccati:
+            sol = parallel_backward_pass(lq, cfg.reg)
+            dx0 = x0 - traj.xs[0]
+            dxs, dus = parallel_forward_pass(lq, sol, dx0)
+        else:
+            sol = backward_pass(lq, cfg.reg)
+            dx0 = x0 - traj.xs[0]
+            dxs, dus = forward_pass(lq, sol, dx0)
 
         merit0, _ = merit(traj, times, params, lam)
 

@@ -70,14 +70,17 @@ class Trajectory(NamedTuple):
 class _Terms(NamedTuple):
     r: jnp.ndarray
     h_log: jnp.ndarray
+    h_log_mask: jnp.ndarray
     h_quad: jnp.ndarray
     g: jnp.ndarray
 
 
 def node_cost_terms(terms, bp: BarrierParams, lam, rho):
-    """Scalar cost of one node given its NodeTerms (AL included)."""
+    """Scalar cost of one node given its NodeTerms (AL included). Masked
+    barrier rows contribute exactly zero (value and derivatives)."""
     c = 0.5 * jnp.sum(terms.r**2)
-    c += jnp.sum(relaxed_log_barrier(terms.h_log, bp.log_mu, bp.log_delta))
+    c += jnp.sum(terms.h_log_mask
+                 * relaxed_log_barrier(terms.h_log, bp.log_mu, bp.log_delta))
     c += jnp.sum(quadratic_barrier(terms.h_quad, bp.quad_mu, bp.quad_delta))
     c += 0.5 * rho * jnp.sum((terms.g + lam / rho) ** 2)
     return c
@@ -93,7 +96,7 @@ def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams):
     def combined(t, x, u, p):
         terms = ocp.node_terms(t, x, u, p)
         x_next = rk4_step(flow, t, x, u, dt)
-        return terms.r, terms.h_log, terms.h_quad, terms.g, x_next
+        return terms.r, terms.h_log, terms.h_quad, terms.g, x_next, terms.h_log_mask
 
     def node_lq(t, x, u, p, lam, rho):
         z = jnp.concatenate([x, u])
@@ -102,11 +105,12 @@ def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams):
         def fz(z_):
             return combined(t, z_[:nx], z_[nx:], p)
 
-        (r, h_log, h_quad, g, x_next), (Jr, Jhl, Jhq, Jg, Jf) = fz(z), jax.jacfwd(fz)(z)
+        (r, h_log, h_quad, g, x_next, hmask), (Jr, Jhl, Jhq, Jg, Jf, _) = (
+            fz(z), jax.jacfwd(fz)(z))
 
-        # gradients / GN Hessians of the node cost
-        pl1 = relaxed_log_barrier_d1(h_log, bp.log_mu, bp.log_delta)
-        pl2 = relaxed_log_barrier_d2(h_log, bp.log_mu, bp.log_delta)
+        # gradients / GN Hessians of the node cost (masked rows contribute 0)
+        pl1 = hmask * relaxed_log_barrier_d1(h_log, bp.log_mu, bp.log_delta)
+        pl2 = hmask * relaxed_log_barrier_d2(h_log, bp.log_mu, bp.log_delta)
         pq1 = quadratic_barrier_d1(h_quad, bp.quad_mu, bp.quad_delta)
         pq2 = quadratic_barrier_d2(h_quad, bp.quad_mu, bp.quad_delta)
         g_al = rho * g + lam
@@ -119,7 +123,7 @@ def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams):
             + rho * (Jg.T @ Jg)
         )
 
-        cost = node_cost_terms(_Terms(r, h_log, h_quad, g), bp, lam, rho)
+        cost = node_cost_terms(_Terms(r, h_log, hmask, h_quad, g), bp, lam, rho)
 
         return (Jf[:, :nx], Jf[:, nx:], x_next,
                 Hess[:nx, :nx], Hess[nx:, nx:], Hess[nx:, :nx],
