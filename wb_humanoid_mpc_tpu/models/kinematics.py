@@ -45,39 +45,54 @@ class FK(NamedTuple):
 
 
 def forward_kinematics(model: RobotModel, q: jnp.ndarray) -> FK:
-    """FK for a single configuration q = [p_base(3), theta_zyx(3), q_joints]."""
+    """FK for a single configuration q = [p_base(3), theta_zyx(3), q_joints].
+
+    Implemented as a `lax.scan` over joints in topological order (parents
+    always precede children), carrying the stacked world transforms. The
+    scanned body keeps the traced graph O(1) in the number of joints — the
+    node functions are instantiated many times by AD transforms (jacfwd /
+    jvp / grad), so graph compactness directly bounds XLA compile time.
+    """
+    import jax
+
     p_base = q[0:3]
     R_base = euler_zyx_to_rot(q[3:6])
     qj = q[6:]
 
     n_j = model.n_joints
-    Rs = [R_base]
-    ps = [p_base]
-    axes_w = []
-    origins_w = []
+    n_b = model.n_bodies
+    dtype = q.dtype
 
-    jR = jnp.asarray(model.joint_R)
-    jp = jnp.asarray(model.joint_p)
-    jaxis = jnp.asarray(model.joint_axis)
-    parents = model.joint_parent_body  # numpy, static
+    jR = jnp.asarray(model.joint_R, dtype=dtype)
+    jp = jnp.asarray(model.joint_p, dtype=dtype)
+    jaxis = jnp.asarray(model.joint_axis, dtype=dtype)
+    parents = jnp.asarray(model.joint_parent_body)
 
-    for j in range(n_j):
-        pb = int(parents[j])
-        R_joint_w = Rs[pb] @ jR[j]
-        p_joint_w = ps[pb] + Rs[pb] @ jp[j]
-        axis_w = R_joint_w @ jaxis[j]
-        # revolute rotation about axis (in joint frame) by qj[j]
-        R_rot = _axis_angle_rot(jaxis[j], qj[j])
-        Rs.append(R_joint_w @ R_rot)
-        ps.append(p_joint_w)
-        axes_w.append(axis_w)
-        origins_w.append(p_joint_w)
+    R_all0 = jnp.zeros((n_b, 3, 3), dtype=dtype).at[0].set(R_base)
+    p_all0 = jnp.zeros((n_b, 3), dtype=dtype).at[0].set(p_base)
+
+    def step(carry, inp):
+        R_all, p_all = carry
+        j, pb, Rj, pj, ax, qv = inp
+        Rp = R_all[pb]
+        pp = p_all[pb]
+        R_joint_w = Rp @ Rj
+        p_joint_w = pp + Rp @ pj
+        axis_w = R_joint_w @ ax
+        R_body = R_joint_w @ _axis_angle_rot(ax, qv)
+        R_all = jax.lax.dynamic_update_index_in_dim(R_all, R_body, j + 1, 0)
+        p_all = jax.lax.dynamic_update_index_in_dim(p_all, p_joint_w, j + 1, 0)
+        return (R_all, p_all), (axis_w, p_joint_w)
+
+    idx = jnp.arange(n_j)
+    (R_all, p_all), (axes_w, origins_w) = jax.lax.scan(
+        step, (R_all0, p_all0), (idx, parents, jR, jp, jaxis, qj))
 
     return FK(
-        R=jnp.stack(Rs),
-        p=jnp.stack(ps),
-        joint_axis_w=jnp.stack(axes_w) if n_j else jnp.zeros((0, 3)),
-        joint_origin_w=jnp.stack(origins_w) if n_j else jnp.zeros((0, 3)),
+        R=R_all,
+        p=p_all,
+        joint_axis_w=axes_w if n_j else jnp.zeros((0, 3), dtype=dtype),
+        joint_origin_w=origins_w if n_j else jnp.zeros((0, 3), dtype=dtype),
         E_base=euler_zyx_rate_to_world_omega_map(q[3:6]),
     )
 

@@ -77,7 +77,8 @@ def _leaves(lq: LQApprox, reg: float):
     eyeu = jnp.eye(nu, dtype=lq.B.dtype)
 
     def leaf(A, B, d, Qxx, Quu, Qux, qx, qu):
-        Quu_r = Quu + reg * eyeu
+        scale = jnp.maximum(jnp.max(jnp.diagonal(Quu)), 1.0)
+        Quu_r = Quu + (reg * scale) * eyeu
         L = jnp.linalg.cholesky(0.5 * (Quu_r + Quu_r.swapaxes(-1, -2)))
         K0 = -jax.scipy.linalg.cho_solve((L, True), Qux)
         k0 = -jax.scipy.linalg.cho_solve((L, True), qu)
@@ -111,7 +112,9 @@ def parallel_backward_pass(lq: LQApprox, reg: float = 1e-8) -> RiccatiSolution:
     eyeu = jnp.eye(nu, dtype=lq.B.dtype)
 
     def gains(A, B, d, Qxx, Quu, Qux, qx, qu, P_next, p_next):
-        Quu_h = Quu + B.T @ P_next @ B + reg * eyeu
+        Quu_h = Quu + B.T @ P_next @ B
+        scale = jnp.maximum(jnp.max(jnp.diagonal(Quu_h)), 1.0)
+        Quu_h = Quu_h + (reg * scale) * eyeu
         Qux_h = Qux + B.T @ P_next @ A
         Qu = qu + B.T @ (P_next @ d + p_next)
         L = jnp.linalg.cholesky(0.5 * (Quu_h + Quu_h.T))

@@ -45,7 +45,11 @@ def backward_pass(lq: LQApprox, reg: float = 1e-8) -> RiccatiSolution:
         PA = P_next @ A
         PB = P_next @ B
         Qxx_h = Qxx + A.T @ PA
-        Quu_h = Quu + B.T @ PB + reg * eyeu
+        Quu_h = Quu + B.T @ PB
+        # relative Levenberg regularization: keeps the Cholesky PD in float32
+        # even when Quu spans many orders of magnitude
+        scale = jnp.maximum(jnp.max(jnp.diagonal(Quu_h)), 1.0)
+        Quu_h = Quu_h + (reg * scale) * eyeu
         Qux_h = Qux + B.T @ PA
 
         # solve via Cholesky (Quu_h symmetric pd after regularization)

@@ -95,6 +95,8 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
             return m
 
         merits = jax.vmap(try_alpha)(alphas)
+        # a candidate that produced NaN/inf must never be selected
+        merits = jnp.where(jnp.isfinite(merits), merits, jnp.inf)
         # expected decrease heuristic: accept first alpha whose merit improves
         ok = merits < merit0 - cfg.armijo * alphas * jnp.abs(merit0)
         # fall back to the best candidate if none qualifies
