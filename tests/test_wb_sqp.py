@@ -60,13 +60,17 @@ def test_wb_sqp_stance_converges():
 
 
 def test_wb_sqp_float32_stable():
-    """The on-hardware dtype: solver must stay finite and hold stance in f32."""
+    """The on-hardware dtype regime: x64 disabled entirely (as on TPU), all
+    arrays float32; solver must stay finite and hold stance."""
+    from jax.experimental import disable_x64
+
     N = 8
-    cfg, model, ocp, x0, params, init, lam = _stance_problem(N, jnp.float32)
-    solver_cfg = SqpSolverConfig(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=3,
-                                 reg=1e-4, rho=1e2)
-    solve = jax.jit(make_sqp_solver(ocp, model.flow_map, ocp.barrier_params(), solver_cfg))
-    sol = solve(0.0, x0, init, params, lam)
+    with disable_x64():
+        cfg, model, ocp, x0, params, init, lam = _stance_problem(N, jnp.float32)
+        solver_cfg = SqpSolverConfig(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=3,
+                                     reg=1e-4, rho=1e2)
+        solve = jax.jit(make_sqp_solver(ocp, model.flow_map, ocp.barrier_params(), solver_cfg))
+        sol = jax.block_until_ready(solve(0.0, x0, init, params, lam))
     assert np.isfinite(float(sol.cost)), "f32 solve produced non-finite cost"
     assert np.isfinite(np.array(sol.traj.xs)).all()
     assert float(sol.g_norm) < 0.5

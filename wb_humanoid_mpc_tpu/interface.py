@@ -72,8 +72,13 @@ def build_centroidal_mpc(
     cfg = load_task_config(task_file, "centroidal", layout.state_dim, layout.input_dim)
 
     robot = build_robot_model(urdf_path, cfg)
-    model = CentroidalModel(robot=robot, layout=layout,
-                            contact_frames=tuple(cfg.model_settings.contact_names))
+    ref_cfg_probe = load_reference_config(reference_file, layout.n_joints)
+    model = CentroidalModel(
+        robot=robot, layout=layout,
+        contact_frames=tuple(cfg.model_settings.contact_names),
+        srbm=(cfg.centroidal_model_type == 1),
+        nominal_joint_angles=tuple(ref_cfg_probe.default_joint_state.tolist()),
+    )
     ocp = CentroidalOcp(model=model, cfg=cfg)
 
     horizon = horizon if horizon is not None else cfg.mpc.time_horizon

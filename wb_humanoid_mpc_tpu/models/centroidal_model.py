@@ -32,6 +32,12 @@ class CentroidalModel:
     robot: RobotModel
     layout: CentroidalLayout
     contact_frames: tuple[str, ...]
+    # centroidalModelType 1 = Single Rigid Body Dynamics: the centroidal
+    # momentum matrix is evaluated at a fixed nominal joint posture and the
+    # joint-velocity momentum contribution is dropped (ocs2
+    # `FactoryFunctions::loadCentroidalType`, SURVEY.md §2.4).
+    srbm: bool = False
+    nominal_joint_angles: tuple = ()
 
     @property
     def state_dim(self) -> int:
@@ -40,6 +46,15 @@ class CentroidalModel:
     @property
     def input_dim(self) -> int:
         return self.layout.input_dim
+
+    def _momentum_matrix(self, q):
+        """A(q) for the full model; SRBD variant uses nominal joints and
+        zeros the joint columns."""
+        if not self.srbm:
+            return dyn.centroidal_momentum_matrix(self.robot, q)
+        q_nom = q.at[6:].set(jnp.asarray(self.nominal_joint_angles, dtype=q.dtype))
+        A = dyn.centroidal_momentum_matrix(self.robot, q_nom)
+        return A.at[:, 6:].set(0.0)
 
     def flow_map(self, t, x, u):
         """dx/dt for a single (x, u); vmap over nodes/batch."""
@@ -67,7 +82,7 @@ class CentroidalModel:
         h_dot = jnp.concatenate([f_sum / m_total + g_vec, tau_sum / m_total])
 
         # base kinematics from momentum: A_b qb_dot + A_j qd_j = m h
-        A = dyn.centroidal_momentum_matrix(robot, q)
+        A = self._momentum_matrix(q)
         A_b = A[:, :6]
         A_j = A[:, 6:]
         qb_dot = jnp.linalg.solve(A_b, m_total * h - A_j @ qd_j)
@@ -91,7 +106,7 @@ class CentroidalModel:
         """Recover full generalized velocity from state + joint velocity input."""
         lay = self.layout
         q = lay.generalized_coordinates(x)
-        A = dyn.centroidal_momentum_matrix(self.robot, q)
+        A = self._momentum_matrix(q)
         qb_dot = jnp.linalg.solve(
             A[:, :6], self.robot.total_mass * lay.momentum(x) - A[:, 6:] @ qd_j)
         return jnp.concatenate([qb_dot, qd_j])

@@ -79,9 +79,10 @@ def forward_kinematics(model: RobotModel, q: jnp.ndarray) -> FK:
         R_joint_w = Rp @ Rj
         p_joint_w = pp + Rp @ pj
         axis_w = R_joint_w @ ax
-        R_body = R_joint_w @ _axis_angle_rot(ax, qv)
+        R_body = (R_joint_w @ _axis_angle_rot(ax, qv)).astype(R_all.dtype)
         R_all = jax.lax.dynamic_update_index_in_dim(R_all, R_body, j + 1, 0)
-        p_all = jax.lax.dynamic_update_index_in_dim(p_all, p_joint_w, j + 1, 0)
+        p_all = jax.lax.dynamic_update_index_in_dim(
+            p_all, p_joint_w.astype(p_all.dtype), j + 1, 0)
         return (R_all, p_all), (axis_w, p_joint_w)
 
     idx = jnp.arange(n_j)
@@ -101,7 +102,7 @@ def _axis_angle_rot(axis, angle):
     """Rodrigues rotation about a (constant) unit axis."""
     K = skew(axis)
     s, c = jnp.sin(angle), jnp.cos(angle)
-    return jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
+    return jnp.eye(3, dtype=K.dtype) + s * K + (1.0 - c) * (K @ K)
 
 
 def point_jacobian(model: RobotModel, fk: FK, body: jnp.ndarray | int, point_w: jnp.ndarray,

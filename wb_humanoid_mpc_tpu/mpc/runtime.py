@@ -110,7 +110,19 @@ class MpcRuntime:
         t_ref = _time.perf_counter() - t_ref0
 
         init_traj = self._warm_start(t0, x_obs)
-        lam = self._lam if self._lam is not None else jnp.zeros((self.N, self.n_eq))
+        # zero the wrench entries of swing nodes in the warm start: the time
+        # shift moves stance nodes into swing slots, and a large stale wrench
+        # on a zero-wrench-constrained node destabilizes the AL iteration
+        cf = np.asarray(refs.swing.contact_flags)[: self.N]
+        us = np.asarray(init_traj.us)
+        for i in range(2):
+            swing_nodes = cf[:, i] < 0.5
+            us[swing_nodes, 6 * i: 6 * i + 6] = 0.0
+        init_traj = Trajectory(xs=init_traj.xs, us=jnp.asarray(us))
+        # AL multipliers are node-indexed; after the receding-horizon shift the
+        # node<->phase alignment changes, so stale multipliers are harmful.
+        # Restart them each solve (within-solve AL updates still apply).
+        lam = jnp.zeros((self.N, self.n_eq))
 
         t_solve0 = _time.perf_counter()
         sol: SqpSolution = self.solve_fn(t0, jnp.asarray(x_obs), init_traj, params, lam)

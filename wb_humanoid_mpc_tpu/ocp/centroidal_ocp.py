@@ -224,7 +224,10 @@ class CentroidalOcp:
                 twist[:3] + jnp.array([0.0, 0.0, 1.0]) * gz * (p_f[2] - p.z_pos[i]),
                 twist[3:6] + g_ori * tilt,
             ])
-            wrench_rows = lay.contact_wrench(u, i)
+            # normalize: wrench rows are O(m g / 2) in Newtons; scale to O(1)
+            # so the AL penalty treats all equality rows uniformly
+            wrench_scale = 2.0 / (robot.total_mass * robot.gravity)
+            wrench_rows = lay.contact_wrench(u, i) * wrench_scale
             g_rows.append(p.contact[i] * stance_rows + (1.0 - p.contact[i]) * wrench_rows)
             normal_vel = twist[2] + gz * (p_f[2] - p.z_pos[i]) - p.z_vel[i]
             g_rows.append((1.0 - p.contact[i]) * normal_vel[None])

@@ -204,7 +204,10 @@ class WholeBodyOcp:
                 fc.orientation_error_gain * tilt,
             ])
             stance_rows = Aa * acc + Av * twist + pose_err
-            wrench_rows = lay.contact_wrench(u, i)
+            # normalize: wrench rows are O(m g / 2) in Newtons; scale to O(1)
+            # so the AL penalty treats all equality rows uniformly
+            wrench_scale = 2.0 / (robot.total_mass * robot.gravity)
+            wrench_rows = lay.contact_wrench(u, i) * wrench_scale
             g_rows.append(p.contact[i] * stance_rows + (1.0 - p.contact[i]) * wrench_rows)
 
             # swing vertical-acceleration tracking (1 row)
