@@ -62,10 +62,8 @@ def test_wb_sqp_stance_converges():
 def test_wb_sqp_float32_stable():
     """The on-hardware dtype regime: x64 disabled entirely (as on TPU), all
     arrays float32; solver must stay finite and hold stance."""
-    from jax.experimental import disable_x64
-
     N = 8
-    with disable_x64():
+    with jax.enable_x64(False):
         cfg, model, ocp, x0, params, init, lam = _stance_problem(N, jnp.float32)
         solver_cfg = SqpSolverConfig(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=3,
                                      reg=1e-4, rho=1e2)

@@ -131,6 +131,17 @@ _TS_KEYS = [
 
 
 @dataclasses.dataclass
+class MimicJointConfig:
+    """q_child = multiplier * q_parent (reference `CentroidalMpcInterface.cpp:277-313`,
+    `WBMpcInterface.cpp:233-272`)."""
+    parent_joint_name: str
+    child_joint_name: str
+    multiplier: float
+    position_gain: float
+    velocity_gain: float = 0.0
+
+
+@dataclasses.dataclass
 class TaskConfig:
     formulation: str                    # "centroidal" | "wb"
     centroidal_model_type: int          # 0 full, 1 SRBM (centroidal only)
@@ -150,6 +161,8 @@ class TaskConfig:
     contacts: ContactsConfig
     joint_limits_barrier: RelaxedBarrierConfig
     collision: CollisionConfig
+    mimic_joints: list = dataclasses.field(default_factory=list)
+    joint_torque_weights: np.ndarray | None = None
 
 
 def _ts_weights(block: dict | None) -> np.ndarray:
@@ -274,6 +287,21 @@ def load_task_config(path: str, formulation: str, state_dim: int, input_dim: int
                 weights=as_matrix(block.get("weights", {}), len(names)),
             )
 
+    mimics = []
+    for key, block in (t.get("mimicJoints") or {}).items():
+        if isinstance(block, dict) and "parentJointName" in block:
+            mimics.append(MimicJointConfig(
+                parent_joint_name=str(block["parentJointName"]),
+                child_joint_name=str(block["childJointName"]),
+                multiplier=float(block.get("multiplier", 1.0)),
+                position_gain=float(block.get("positionGain", 0.0)),
+                velocity_gain=float(block.get("velocityGain", 0.0)),
+            ))
+
+    jtw = t.get("joint_torque_weights")
+    joint_torque_weights = (as_matrix(jtw, input_dim - 12)
+                            if isinstance(jtw, dict) else None)
+
     return TaskConfig(
         formulation=formulation,
         centroidal_model_type=int(t.get("centroidalModelType", 0)),
@@ -293,6 +321,8 @@ def load_task_config(path: str, formulation: str, state_dim: int, input_dim: int
         contacts=contacts,
         joint_limits_barrier=joint_limits,
         collision=collision,
+        mimic_joints=mimics,
+        joint_torque_weights=joint_torque_weights,
     )
 
 

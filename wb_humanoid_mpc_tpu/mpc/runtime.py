@@ -114,7 +114,7 @@ class MpcRuntime:
         # shift moves stance nodes into swing slots, and a large stale wrench
         # on a zero-wrench-constrained node destabilizes the AL iteration
         cf = np.asarray(refs.swing.contact_flags)[: self.N]
-        us = np.asarray(init_traj.us)
+        us = np.array(init_traj.us)  # mutable copy
         for i in range(2):
             swing_nodes = cf[:, i] < 0.5
             us[swing_nodes, 6 * i: 6 * i + 6] = 0.0

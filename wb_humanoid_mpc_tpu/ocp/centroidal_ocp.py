@@ -77,7 +77,8 @@ class CentroidalOcp:
     # ---- static dimensions ----
     @property
     def n_eq(self) -> int:
-        return 14  # 2 feet x (6 stance-twist/zero-wrench + 1 swing normal vel)
+        # 2 feet x (6 stance-twist/zero-wrench + 1 swing normal vel) + mimic rows
+        return 14 + len(self.cfg.mimic_joints)
 
     def barrier_params(self) -> BarrierParams:
         c = self.cfg
@@ -231,6 +232,17 @@ class CentroidalOcp:
             g_rows.append(p.contact[i] * stance_rows + (1.0 - p.contact[i]) * wrench_rows)
             normal_vel = twist[2] + gz * (p_f[2] - p.z_pos[i]) - p.z_vel[i]
             g_rows.append((1.0 - p.contact[i]) * normal_vel[None])
+
+        # joint mimic constraints (velocity level + position feedback;
+        # reference `JointMimicKinematicConstraint`, built
+        # `CentroidalMpcInterface.cpp:277-313`)
+        qj = lay.joint_angles(x)
+        for mj in c.mimic_joints:
+            ip = robot.joint_index(mj.parent_joint_name)
+            ic = robot.joint_index(mj.child_joint_name)
+            row = (mj.multiplier * qd_j[ip] - qd_j[ic]
+                   + mj.position_gain * (mj.multiplier * qj[ip] - qj[ic]))
+            g_rows.append(row[None])
         g = jnp.concatenate(g_rows)
 
         return NodeTerms(r=r, h_log=h_log, h_log_mask=h_log_mask, h_quad=h_quad, g=g)

@@ -60,7 +60,7 @@ class WholeBodyOcp:
 
     @property
     def n_eq(self) -> int:
-        return 14
+        return 14 + len(self.cfg.mimic_joints)
 
     def barrier_params(self) -> BarrierParams:
         c = self.cfg
@@ -130,6 +130,11 @@ class WholeBodyOcp:
                 w[12:15] * acc[:3],
                 w[15:18] * acc[3:6],
             ]))
+        # optional joint torque cost (reference `JointTorqueCostCppAd`,
+        # `WBMpcInterface.cpp:286-291`; disabled in the G1 config)
+        if c.joint_torque_weights is not None:
+            tau = dyn.joint_torques(robot, mn.M, mn.nle, qdd_j, J_c, W)
+            rs.append(jnp.sqrt(jnp.asarray(c.joint_torque_weights)) * tau)
         r = jnp.concatenate(rs)
 
         # ---------- relaxed-log-barrier rows (cone, moment, collision) ----------
@@ -217,6 +222,18 @@ class WholeBodyOcp:
                 + fc.position_error_gain_z * (p_f[2] - p.z_pos[i])
             )
             g_rows.append((1.0 - p.contact[i]) * swing_row[None])
+
+        # joint mimic constraints at acceleration level w/ vel+pos feedback
+        # (reference `JointMimicDynamicsConstraint`, built `WBMpcInterface.cpp:233-272`)
+        qj_all = lay.joint_angles(x)
+        vj_all = lay.joint_velocities(x)
+        for mj in c.mimic_joints:
+            ip = self.model.robot.joint_index(mj.parent_joint_name)
+            ic = self.model.robot.joint_index(mj.child_joint_name)
+            row = (mj.multiplier * qdd_j[ip] - qdd_j[ic]
+                   + mj.velocity_gain * (mj.multiplier * vj_all[ip] - vj_all[ic])
+                   + mj.position_gain * (mj.multiplier * qj_all[ip] - qj_all[ic]))
+            g_rows.append(row[None])
         g = jnp.concatenate(g_rows)
 
         return NodeTerms(r=r, h_log=h_log, h_log_mask=h_log_mask, h_quad=h_quad, g=g)
