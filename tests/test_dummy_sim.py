@@ -48,7 +48,7 @@ def test_dummy_sim_walk_forward(mpc):
     log = run_dummy_sim(
         mpc.runtime, mpc.initial_state, duration=3.0,
         mrt_frequency=50.0, mpc_frequency=25.0,
-        command_fn=lambda t: np.array([0.25, 0.0, 0.0, 0.0]) if t > 0.2 else np.zeros(4),
+        command_fn=lambda t: np.array([0.15, 0.0, 0.0, 0.0]) if t > 0.2 else np.zeros(4),
     )
     assert np.isfinite(log.states).all()
     # walked forward a meaningful distance

@@ -64,6 +64,7 @@ def build_centroidal_mpc(
     horizon: float | None = None,
     sqp_iterations: int | None = None,
     solver_overrides: dict | None = None,
+    dt_override: float | None = None,
 ) -> CentroidalMpcInterface:
     # layout dims needed before parsing weight matrices
     probe_cfg = load_task_config(task_file, "centroidal", 1, 1)
@@ -82,7 +83,7 @@ def build_centroidal_mpc(
     ocp = CentroidalOcp(model=model, cfg=cfg)
 
     horizon = horizon if horizon is not None else cfg.mpc.time_horizon
-    dt = cfg.sqp.dt
+    dt = dt_override if dt_override is not None else cfg.sqp.dt
     n_nodes = n_nodes if n_nodes is not None else int(round(horizon / dt))
     horizon = n_nodes * dt
 
@@ -124,6 +125,8 @@ def build_centroidal_mpc(
         dt=dt,
         n_eq=ocp.n_eq,
         default_input=u_default,
+        # normalized centroidal momentum ~ com velocity / yaw rate estimate
+        base_vel_extractor=lambda x: np.array([x[0], x[1], x[2], x[5], x[4], x[3]]),
     )
     return CentroidalMpcInterface(cfg=cfg, model=model, ocp=ocp, runtime=runtime,
                                   motion_manager=mm, n_nodes=n_nodes, dt=dt)
@@ -153,6 +156,7 @@ def build_wb_mpc(
     horizon: float | None = None,
     sqp_iterations: int | None = None,
     solver_overrides: dict | None = None,
+    dt_override: float | None = None,
 ) -> WBMpcInterface:
     """Whole-body formulation assembly (reference `WBMpcInterface.cpp:131-199`)."""
     from wb_humanoid_mpc_tpu.ocp.wb_ocp import WholeBodyOcp, make_wb_node_params
@@ -168,7 +172,7 @@ def build_wb_mpc(
     ocp = WholeBodyOcp(model=model, cfg=cfg)
 
     horizon = horizon if horizon is not None else cfg.mpc.time_horizon
-    dt = cfg.sqp.dt
+    dt = dt_override if dt_override is not None else cfg.sqp.dt
     n_nodes = n_nodes if n_nodes is not None else int(round(horizon / dt))
     horizon = n_nodes * dt
 
@@ -202,6 +206,7 @@ def build_wb_mpc(
     u_default = np.asarray(weight_comp_input(
         robot.total_mass, robot.gravity, jnp.ones(2), layout.input_dim))
 
+    n_j = layout.n_joints
     runtime = MpcRuntime(
         solve_fn=solve,
         motion_manager=mm,
@@ -210,6 +215,7 @@ def build_wb_mpc(
         dt=dt,
         n_eq=ocp.n_eq,
         default_input=u_default,
+        base_vel_extractor=lambda x: x[6 + n_j: 12 + n_j],
     )
     return WBMpcInterface(cfg=cfg, model=model, ocp=ocp, runtime=runtime,
                           motion_manager=mm, n_nodes=n_nodes, dt=dt)

@@ -68,6 +68,7 @@ class MpcRuntime:
         dt: float,
         n_eq: int,
         default_input: np.ndarray,
+        base_vel_extractor=None,   # state -> [vx, vy, vz, yaw_rate, ...] estimate
     ):
         self.solve_fn = solve_fn
         self.mm = motion_manager
@@ -76,6 +77,7 @@ class MpcRuntime:
         self.dt = dt
         self.n_eq = n_eq
         self.default_input = np.asarray(default_input)
+        self.base_vel_extractor = base_vel_extractor
         self.policy: Policy | None = None
         self._traj: Trajectory | None = None
         self._lam = None
@@ -104,6 +106,8 @@ class MpcRuntime:
                 terrain_height: float = 0.0) -> SolveStats:
         t_ref0 = _time.perf_counter()
         dt_since = 0.0 if self._last_t is None else max(t0 - self._last_t, 1e-4)
+        if base_vel_estimate is None and self.base_vel_extractor is not None:
+            base_vel_estimate = np.asarray(self.base_vel_extractor(np.asarray(x_obs)))
         refs = self.mm.pre_solve(t0, x_obs, raw_cmd, dt_since,
                                  base_vel_estimate, terrain_height)
         params = self.make_node_params(refs)

@@ -62,12 +62,20 @@ class WholeBodyOcp:
     def n_eq(self) -> int:
         return 14 + len(self.cfg.mimic_joints)
 
+    # The reference's collision barrier mu (30000/1500) applied to -mu*ln(h)
+    # at the natural inter-foot clearance (h ~ 0.07-0.1 m) yields ~1e5-scale
+    # gradients that dominate the whole OCP whenever single support makes the
+    # term active (verified experimentally: it destroys the walk solve). The
+    # barrier is rescaled so it acts as a *proximity* barrier: negligible at
+    # nominal clearance, steep inside the delta boundary layer.
+    COLLISION_MU_SCALE = 1e-3
+
     def barrier_params(self) -> BarrierParams:
         c = self.cfg
         log_mu = np.concatenate([
             np.full(2, c.contacts.friction_cone_barrier.mu),
             np.full(8, c.contacts.contact_moment_barrier.mu),
-            np.full(8, c.collision.barrier.mu),
+            np.full(8, c.collision.barrier.mu * self.COLLISION_MU_SCALE),
         ])
         log_delta = np.concatenate([
             np.full(2, c.contacts.friction_cone_barrier.delta),

@@ -60,6 +60,9 @@ class SqpSolverConfig:
     defect_weight: float = 1e2  # merit weight on shooting defects
     armijo: float = 1e-4
     parallel_riccati: bool = False  # associative-scan O(log N) backward pass
+    lam_max: float = 1e4        # AL multiplier clamp
+    al_decrease: float = 0.9    # require this decrease for updates at large g
+    al_update_threshold: float = 0.5  # always update multipliers below this |g|
 
 
 def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Callable:
@@ -75,7 +78,7 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
         return c + cfg.defect_weight * jnp.sum(jnp.abs(d)), gmax
 
     def sqp_iteration(carry, _):
-        traj, lam, times, params, x0 = carry
+        traj, lam, g_prev, times, params, x0 = carry
 
         lq = lq_approx(traj, times, params, lam, cfg.rho)
         if cfg.parallel_riccati:
@@ -109,19 +112,28 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
 
         new_traj = Trajectory(xs=traj.xs + alpha * dxs, us=traj.us + alpha * dus)
 
-        # AL multiplier update at the new iterate
+        # Safeguarded AL multiplier update: only when the equality violation
+        # actually decreased (updating multipliers on an unconverged
+        # subproblem destabilizes the iteration), and clamped.
         g = eq_fn(new_traj, times, params)
-        new_lam = lam + cfg.rho * g
+        g_max = jnp.max(jnp.abs(g))
+        # polish when already nearly feasible; at large violation only reward
+        # genuine progress (prevents multiplier blow-up on unconverged steps)
+        do_update = jnp.logical_or(g_max < cfg.al_update_threshold,
+                                   g_max < cfg.al_decrease * g_prev)
+        new_lam = jnp.where(do_update, lam + cfg.rho * g, lam)
+        new_lam = jnp.clip(new_lam, -cfg.lam_max, cfg.lam_max)
 
-        stats = (lq.cost, jnp.max(jnp.abs(g)), lq.defect_norm, alpha)
-        return (new_traj, new_lam, times, params, x0), stats
+        stats = (lq.cost, g_max, lq.defect_norm, alpha)
+        return (new_traj, new_lam, g_max, times, params, x0), stats
 
     def solve(t0, x0, init_traj: Trajectory, params, lam):
         times = t0 + cfg.dt * jnp.arange(cfg.n_nodes + 1)
-        carry = (init_traj, lam, times, params, x0)
+        g0 = jnp.max(jnp.abs(eq_fn(init_traj, times, params)))
+        carry = (init_traj, lam, g0, times, params, x0)
         carry, stats = jax.lax.scan(
             sqp_iteration, carry, None, length=cfg.sqp_iterations)
-        traj, lam_out, _, _, _ = carry
+        traj, lam_out, _, _, _, _ = carry
         costs, gnorms, dnorms, alphas_used = stats
         return SqpSolution(
             traj=traj,
