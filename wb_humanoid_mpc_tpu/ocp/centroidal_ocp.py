@@ -57,11 +57,16 @@ class NodeParams(NamedTuple):
 
 
 def _tilt_error(R, normal):
-    """3-dim orientation-vs-plane error: (R e_z) x n — zero iff the frame
+    """3-dim orientation-vs-plane error: n x (R e_z) — zero iff the frame
     z-axis aligns with the plane normal (stands in for ocs2's
-    `rotationMatrixDistanceToPlane`, submodule-only)."""
+    `rotationMatrixDistanceToPlane`, submodule-only).
+
+    Sign convention matters for the stance feedback rows `omega + k*e = 0`:
+    with e = n x (R e_z) one has de/dt = +omega_xy near upright, so the
+    constraint drives e -> 0 (verified: the opposite sign destabilizes the
+    stance foot during single support)."""
     z_axis = R[:, 2]
-    return jnp.cross(z_axis, normal)
+    return jnp.cross(normal, z_axis)
 
 
 def _rotation_error(R, R_ref):

@@ -1,19 +1,26 @@
-"""Dummy-sim closed loop: kinematic plant that replays the MPC policy.
+"""Dummy-sim closed loop: integrator plant driven by the MPC policy.
 
 The headless equivalent of the reference's `MRT_ROS_Dummy_Loop` +
 dummy-sim node (SURVEY.md §3.2, `CentroidalMpcDummySimNode.cpp:66-93`):
-at the MRT rate the "plant" state is the policy evaluated at t+dt, and at the
-MPC rate a new solve is triggered. This is the cheapest end-to-end test of the
-whole stack (references, OCP, solver, runtime) without physics.
+at the MRT rate the plant state advances by ROLLING OUT the model dynamics
+under the policy input (the reference's `TimeTriggeredRollout` semantics —
+feeding back the optimizer's raw state trajectory would re-inject
+multiple-shooting defects as disturbances), and at the MPC rate a new solve is
+triggered. This is the cheapest end-to-end test of the whole stack
+(references, OCP, solver, runtime) without physics.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from wb_humanoid_mpc_tpu.mpc.runtime import MpcRuntime, SolveStats
+from wb_humanoid_mpc_tpu.solver.transcription import rk4_step
 
 
 @dataclasses.dataclass
@@ -32,9 +39,14 @@ def run_dummy_sim(
     mrt_frequency: float,
     mpc_frequency: float,
     command_fn=None,            # t -> raw command (vx, vy, height, wz) in [-1,1]
+    flow=None,                  # model flow map; None -> replay policy states
 ) -> DummySimLog:
     dt_mrt = 1.0 / mrt_frequency
     solve_every = max(int(round(mrt_frequency / mpc_frequency)), 1)
+
+    step_fn = None
+    if flow is not None:
+        step_fn = jax.jit(lambda t, x, u: rk4_step(flow, t, x, u, dt_mrt))
 
     x = np.asarray(x0, dtype=float).copy()
     t = 0.0
@@ -47,12 +59,18 @@ def run_dummy_sim(
         if step % solve_every == 0:
             stats.append(runtime.advance(t, x, cmd))
 
-        x_next, u, c = runtime.policy.evaluate(t + dt_mrt)
+        x_pol, u, c = runtime.policy.evaluate(t + dt_mrt)
+        if step_fn is not None:
+            # TimeTriggeredRollout semantics: integrate the model dynamics
+            # under the policy input from the CURRENT plant state
+            x_next = np.asarray(step_fn(t, jnp.asarray(x), jnp.asarray(u)))
+        else:
+            x_next = np.asarray(x_pol)
         times.append(t)
         states.append(x.copy())
         inputs.append(np.asarray(u).copy())
         flags.append(np.asarray(c).copy())
-        x = np.asarray(x_next, dtype=float).copy()
+        x = x_next.astype(float).copy()
         t += dt_mrt
 
     return DummySimLog(

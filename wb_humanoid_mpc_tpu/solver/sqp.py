@@ -31,6 +31,7 @@ from wb_humanoid_mpc_tpu.solver.priccati import (
     parallel_backward_pass,
     parallel_forward_pass,
 )
+from wb_humanoid_mpc_tpu.solver.projection import project_lq, recover_controls
 from wb_humanoid_mpc_tpu.solver.riccati import backward_pass, forward_pass
 from wb_humanoid_mpc_tpu.solver.transcription import (
     LQApprox,
@@ -63,6 +64,8 @@ class SqpSolverConfig:
     lam_max: float = 1e4        # AL multiplier clamp
     al_decrease: float = 0.9    # require this decrease for updates at large g
     al_update_threshold: float = 0.5  # always update multipliers below this |g|
+    equality_handling: str = "projection"  # "projection" (exact, reference-like) | "al"
+    proj_eps: float = 1e-8      # damping of the constraint pseudo-inverse
 
 
 def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Callable:
@@ -81,13 +84,21 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
         traj, lam, g_prev, times, params, x0 = carry
 
         lq = lq_approx(traj, times, params, lam, cfg.rho)
-        if cfg.parallel_riccati:
+        dx0 = x0 - traj.xs[0]
+        if cfg.equality_handling == "projection":
+            reduced, proj = project_lq(lq, lq.Cx, lq.Du, lq.g_res, cfg.proj_eps)
+            if cfg.parallel_riccati:
+                sol = parallel_backward_pass(reduced, cfg.reg)
+                dxs, dzs = parallel_forward_pass(reduced, sol, dx0)
+            else:
+                sol = backward_pass(reduced, cfg.reg)
+                dxs, dzs = forward_pass(reduced, sol, dx0)
+            dus = recover_controls(proj, dxs, dzs)
+        elif cfg.parallel_riccati:
             sol = parallel_backward_pass(lq, cfg.reg)
-            dx0 = x0 - traj.xs[0]
             dxs, dus = parallel_forward_pass(lq, sol, dx0)
         else:
             sol = backward_pass(lq, cfg.reg)
-            dx0 = x0 - traj.xs[0]
             dxs, dus = forward_pass(lq, sol, dx0)
 
         merit0, _ = merit(traj, times, params, lam)
@@ -117,12 +128,16 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
         # subproblem destabilizes the iteration), and clamped.
         g = eq_fn(new_traj, times, params)
         g_max = jnp.max(jnp.abs(g))
-        # polish when already nearly feasible; at large violation only reward
-        # genuine progress (prevents multiplier blow-up on unconverged steps)
-        do_update = jnp.logical_or(g_max < cfg.al_update_threshold,
-                                   g_max < cfg.al_decrease * g_prev)
-        new_lam = jnp.where(do_update, lam + cfg.rho * g, lam)
-        new_lam = jnp.clip(new_lam, -cfg.lam_max, cfg.lam_max)
+        if cfg.equality_handling == "projection":
+            # equalities handled exactly in the subproblem; no multipliers
+            new_lam = lam
+        else:
+            # polish when already nearly feasible; at large violation only
+            # reward genuine progress (prevents multiplier blow-up)
+            do_update = jnp.logical_or(g_max < cfg.al_update_threshold,
+                                       g_max < cfg.al_decrease * g_prev)
+            new_lam = jnp.where(do_update, lam + cfg.rho * g, lam)
+            new_lam = jnp.clip(new_lam, -cfg.lam_max, cfg.lam_max)
 
         stats = (lq.cost, g_max, lq.defect_norm, alpha)
         return (new_traj, new_lam, g_max, times, params, x0), stats

@@ -60,6 +60,9 @@ class LQApprox(NamedTuple):
     cost: jnp.ndarray   # scalar: total nonlinear cost (incl. AL terms)
     g_norm: jnp.ndarray  # scalar: max |g| over nodes
     defect_norm: jnp.ndarray  # scalar: max |d|
+    Cx: jnp.ndarray = None     # [N, nc, nx] equality state Jacobians
+    Du: jnp.ndarray = None     # [N, nc, nu] equality input Jacobians
+    g_res: jnp.ndarray = None  # [N, nc] equality residuals
 
 
 class Trajectory(NamedTuple):
@@ -127,12 +130,14 @@ def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams):
 
         return (Jf[:, :nx], Jf[:, nx:], x_next,
                 Hess[:nx, :nx], Hess[nx:, nx:], Hess[nx:, :nx],
-                grad[:nx], grad[nx:], cost, jnp.max(jnp.abs(g)))
+                grad[:nx], grad[nx:], cost, jnp.max(jnp.abs(g)),
+                g, Jg[:, :nx], Jg[:, nx:])
 
     def lq_approximation(traj: Trajectory, times, params, lam, rho) -> LQApprox:
         xs, us = traj.xs, traj.us
         stage_params = jax.tree.map(lambda a: a[:-1], params)
-        A, B, x_next, Qxx, Quu, Qux, qx, qu, costs, gmax = jax.vmap(
+        (A, B, x_next, Qxx, Quu, Qux, qx, qu, costs, gmax,
+         g_res, Cx, Du) = jax.vmap(
             node_lq, in_axes=(0, 0, 0, 0, 0, None)
         )(times[:-1], xs[:-1], us, stage_params, lam, rho)
 
@@ -151,7 +156,8 @@ def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams):
         return LQApprox(A=A, B=B, d=d, Qxx=Qxx, Quu=Quu, Qux=Qux, qx=qx, qu=qu,
                         QN=QN, qN=qN, cost=total_cost,
                         g_norm=jnp.max(gmax),
-                        defect_norm=jnp.max(jnp.abs(d)))
+                        defect_norm=jnp.max(jnp.abs(d)),
+                        Cx=Cx, Du=Du, g_res=g_res)
 
     def total_cost(traj: Trajectory, times, params, lam, rho):
         """Nonlinear cost + AL terms (for line-search merit)."""

@@ -65,7 +65,8 @@ def cmd_dummy_sim(args):
     log = run_dummy_sim(
         mpc.runtime, mpc.initial_state, duration=args.duration,
         mrt_frequency=args.mrt_freq, mpc_frequency=args.mpc_freq,
-        command_fn=lambda t: cmd if t > 0.2 else np.zeros(4))
+        command_fn=lambda t: cmd if t > 0.2 else np.zeros(4),
+        flow=mpc.model.flow_map)
 
     pub = BenchmarksPublisher()
     for s in log.solve_stats:
