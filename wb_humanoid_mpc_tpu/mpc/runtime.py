@@ -152,3 +152,4 @@ class MpcRuntime:
         self._traj = None
         self._lam = None
         self._last_t = None
+        self.mm.reset()

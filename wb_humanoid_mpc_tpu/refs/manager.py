@@ -92,14 +92,24 @@ class MotionManager:
         self.n_nodes = n_nodes
         self.joint_start = joint_start_index
         self.arm_indices = arm_indices or {}
+        self._phase_transition_stance_time = phase_transition_stance_time
+        self._command_filter_hz = command_filter_hz
+        self._swing_cfg = swing_cfg
+        self.reset()
+
+    def reset(self) -> None:
+        """Restore initial gait schedule / FSM / filter state (fresh run)."""
+        ref_cfg = self.ref_cfg
         self.gait_schedule = default_gait_schedule(
             ref_cfg.initial_mode_schedule_modes,
             ref_cfg.initial_mode_schedule_times,
             ref_cfg.default_template,
-            phase_transition_stance_time,
+            self._phase_transition_stance_time,
         )
-        self.swing_planner = SwingTrajectoryPlanner(swing_cfg)
-        self.cmd_filter = AlphaFilter(command_filter_hz, np.zeros(4))
+        self.swing_planner = SwingTrajectoryPlanner(self._swing_cfg)
+        self.cmd_filter = AlphaFilter(self._command_filter_hz, np.zeros(4))
+        if hasattr(self.calc, "_vel_filter_state"):
+            self.calc._vel_filter_state = np.zeros(4)
         self.fsm_mode = 0
         self.current_gait = "stance"
         self.last_gait = "stance"
