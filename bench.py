@@ -26,6 +26,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     from __graft_entry__ import _GAIT, _URDF, _WB_REF, _WB_TASK
     from wb_humanoid_mpc_tpu.ocp.params import weight_comp_input

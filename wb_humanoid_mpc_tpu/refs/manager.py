@@ -153,11 +153,20 @@ class MotionManager:
         if idx >= len(ms.event_times):
             next_event = tf
         else:
-            t_evt = ms.event_times[idx]
-            if ms.mode_at(t_evt) == LF and idx > 0:
-                next_event = ms.event_times[idx - 1]
-            else:
-                next_event = t_evt
+            # Pick the first boundary where the PRECEDING phase differs from
+            # the template's first mode: inserting an LF-first template right
+            # after an existing LF phase would chain two full swings of the
+            # same foot (>1 s of single support — observed to topple the
+            # robot). Extends the reference's LF-alignment heuristic
+            # (`GaitScheduleUpdater.cpp:55-65`).
+            template_first = int(template.mode_sequence[0])
+            next_event = None
+            for e in ms.event_times[idx:]:
+                if ms.mode_at(e - 1e-9) != template_first:
+                    next_event = float(e)
+                    break
+            if next_event is None:
+                next_event = float(ms.event_times[-1])
         self.gait_schedule.insert_mode_sequence_template(
             template, next_event, next_event + 1.5 * horizon)
         self.last_gait = self.current_gait
@@ -177,6 +186,19 @@ class MotionManager:
 
         # mode schedule over extended window (reference modifyReferences: [t0-T, tf+T])
         ms = self.gait_schedule.get_mode_schedule(t0 - self.horizon, tf + self.horizon)
+        # Snap switch times to the shooting grid: ocs2 inserts event times into
+        # the discretization (timeDiscretizationWithEvents); with a fixed-size
+        # TPU grid we instead quantize events to node boundaries so each
+        # shooting interval carries a single consistent contact mode. Without
+        # this, constraints/dynamics straddle switches and the SQP residual
+        # floors at the phase-mismatch level.
+        dt_grid = self.horizon / self.n_nodes
+        snapped = t0 + np.round((ms.event_times - t0) / dt_grid) * dt_grid
+        # enforce strict monotonicity after rounding
+        for i in range(1, len(snapped)):
+            if snapped[i] <= snapped[i - 1]:
+                snapped[i] = snapped[i - 1] + dt_grid
+        ms = ModeSchedule(snapped, ms.mode_sequence.copy())
         self.swing_planner.update(ms, terrain_height)
 
         times = t0 + np.linspace(0.0, self.horizon, self.n_nodes + 1)

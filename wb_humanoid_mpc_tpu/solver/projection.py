@@ -55,8 +55,11 @@ def project_lq(lq: LQApprox, Cx: jnp.ndarray, Du: jnp.ndarray, g: jnp.ndarray,
     nz = nu - nc
 
     def one(A, B, d, Qxx, Quu, Qux, qx, qu, C, D, gv):
-        # damped pseudo-inverse rows (handles masked zero rows)
-        M = D @ D.T + eps * jnp.eye(nc, dtype=D.dtype)
+        # damped pseudo-inverse rows (handles masked zero rows); damping is
+        # relative to the row scale so float32 stays well conditioned
+        M0 = D @ D.T
+        scale = jnp.maximum(jnp.max(jnp.diagonal(M0)), 1.0)
+        M = M0 + (eps * scale) * jnp.eye(nc, dtype=D.dtype)
         Lchol = jnp.linalg.cholesky(0.5 * (M + M.T))
         Dp = jax.scipy.linalg.cho_solve((Lchol, True), jnp.eye(nc, dtype=D.dtype))
         Dpinv = D.T @ Dp                    # [nu, nc]
