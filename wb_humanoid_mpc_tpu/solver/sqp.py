@@ -80,10 +80,18 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
         d = defects_fn(traj, times)
         return c + cfg.defect_weight * jnp.sum(jnp.abs(d)), gmax
 
+    # With exact projection the equality penalty must NOT dominate the LQ
+    # cost: its rho*Jg^T Jg Gauss-Newton block only cancels on the constraint
+    # null space up to roundoff, and at rho ~ 1e3 the float32 cancellation
+    # residue makes the reduced Hessian indefinite (Riccati blow-up). A unit
+    # weight keeps mild curvature toward feasibility with benign conditioning;
+    # the AL path keeps the full rho. The line-search merit always uses cfg.rho.
+    rho_lq = cfg.rho if cfg.equality_handling == "al" else min(cfg.rho, 1.0)
+
     def sqp_iteration(carry, _):
         traj, lam, g_prev, times, params, x0 = carry
 
-        lq = lq_approx(traj, times, params, lam, cfg.rho)
+        lq = lq_approx(traj, times, params, lam, rho_lq)
         dx0 = x0 - traj.xs[0]
         if cfg.equality_handling == "projection":
             reduced, proj = project_lq(lq, lq.Cx, lq.Du, lq.g_res, cfg.proj_eps)
