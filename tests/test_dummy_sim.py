@@ -15,9 +15,12 @@ CENTROIDAL_REF = REFERENCE_ROOT + "/robot_models/unitree_g1/g1_centroidal_mpc/co
 
 @pytest.fixture(scope="module")
 def mpc():
+    # dt pinned to the reference task-file value (task.info multiple_shooting
+    # dt 0.02); 15 nodes -> 0.3 s receding horizon, short enough to keep test
+    # compile time down while covering a half gait cycle.
     return build_centroidal_mpc(
         G1_URDF, G1_CENTROIDAL_TASK, CENTROIDAL_REF, GAIT_INFO,
-        n_nodes=15, horizon=0.6, sqp_iterations=3,
+        n_nodes=15, dt_override=0.02, sqp_iterations=3,
     )
 
 

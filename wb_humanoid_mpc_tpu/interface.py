@@ -83,7 +83,14 @@ def build_centroidal_mpc(
     ocp = CentroidalOcp(model=model, cfg=cfg)
 
     horizon = horizon if horizon is not None else cfg.mpc.time_horizon
-    dt = dt_override if dt_override is not None else cfg.sqp.dt
+    if dt_override is not None:
+        dt = dt_override
+    elif n_nodes is not None:
+        # both n_nodes and horizon pinned -> dt follows (a fixed task-file dt
+        # here would silently shrink the horizon to n_nodes * dt)
+        dt = horizon / n_nodes
+    else:
+        dt = cfg.sqp.dt
     n_nodes = n_nodes if n_nodes is not None else int(round(horizon / dt))
     horizon = n_nodes * dt
 
@@ -172,7 +179,14 @@ def build_wb_mpc(
     ocp = WholeBodyOcp(model=model, cfg=cfg)
 
     horizon = horizon if horizon is not None else cfg.mpc.time_horizon
-    dt = dt_override if dt_override is not None else cfg.sqp.dt
+    if dt_override is not None:
+        dt = dt_override
+    elif n_nodes is not None:
+        # both n_nodes and horizon pinned -> dt follows (a fixed task-file dt
+        # here would silently shrink the horizon to n_nodes * dt)
+        dt = horizon / n_nodes
+    else:
+        dt = cfg.sqp.dt
     n_nodes = n_nodes if n_nodes is not None else int(round(horizon / dt))
     horizon = n_nodes * dt
 

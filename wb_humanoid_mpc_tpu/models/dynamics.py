@@ -86,20 +86,6 @@ def com_position(model: RobotModel, q: jnp.ndarray) -> jnp.ndarray:
     return (m[:, None] * com_w).sum(0) / jnp.sum(m)
 
 
-def nonlinear_effects(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """nle(q, v) = C(q,v) v + g(q)   (Coriolis/centrifugal + gravity).
-
-    Lagrangian identity:  nle = (d/dt M) v - ∇_q T(q,v) + ∇_q V(q), where
-    (d/dt M) v = J_q(M v)[v]. Exact, fully AD-generated — the TPU-native
-    replacement for Pinocchio's RNEA-with-zero-acceleration.
-    """
-    Mv = lambda q_: mass_matrix(model, q_) @ v
-    _, dMv = jax.jvp(Mv, (q,), (v,))
-    gradT = jax.grad(lambda q_: kinetic_energy(model, q_, v))(q)
-    gradV = jax.grad(lambda q_: potential_energy(model, q_))(q)
-    return dMv - gradT + gradV
-
-
 class MassNle(NamedTuple):
     M: jnp.ndarray
     nle: jnp.ndarray
@@ -107,12 +93,62 @@ class MassNle(NamedTuple):
     J: jnp.ndarray  # [n_b,6,nq] body Jacobians
 
 
+def nle_newton_euler(model: RobotModel, fk: FK, vb, J: jnp.ndarray) -> jnp.ndarray:
+    """nle(q,v) from one Newton-Euler force balance over all bodies at once.
+
+    Given per-body twists and zero-q̈ bias accelerations (gravity seeded into
+    the base bias — `forward_kinematics_vel`), the net bias wrench of body b
+    at its origin is
+
+        F   = m (a_o + ω̇ × r_c + ω × (ω × r_c))        r_c = R c
+        N_o = I_c^w ω̇ + ω × (I_c^w ω) + r_c × F         I_c^w = R I_c Rᵀ
+
+    and nle = Σ_b J_bᵀ [F; N_o] — a single batched contraction instead of the
+    backward recursion of Pinocchio's RNEA (and instead of AD transpose
+    passes; reference `DynamicsHelperFunctions.cpp:287+`).
+    """
+    dtype = fk.R.dtype
+    m = jnp.asarray(model.mass, dtype=dtype)
+    c = jnp.asarray(model.com, dtype=dtype)
+    Io = jnp.asarray(model.inertia_o, dtype=dtype)
+    # inertia about the COM (body frame): parallel-axis from the origin inertia
+    Sc = skew(c)
+    Ic = Io - m[:, None, None] * jnp.einsum("bji,bjk->bik", Sc, Sc)
+
+    R, w, dw, a_o = fk.R, vb.omega, vb.domega, vb.a_o
+    r_c = jnp.einsum("bij,bj->bi", R, c)
+    a_c = a_o + jnp.cross(dw, r_c) + jnp.cross(w, jnp.cross(w, r_c))
+    F = m[:, None] * a_c
+    Ic_w = jnp.einsum("bij,bjk,blk->bil", R, Ic, R)
+    Icw_w = jnp.einsum("bij,bj->bi", Ic_w, w)
+    N_o = (jnp.einsum("bij,bj->bi", Ic_w, dw) + jnp.cross(w, Icw_w)
+           + jnp.cross(r_c, F))
+    wrench = jnp.concatenate([F, N_o], axis=1)          # [n_b, 6]
+    return jnp.einsum("bri,br->i", J, wrench)
+
+
 def mass_and_nle(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray) -> MassNle:
-    fk = forward_kinematics(model, q)
+    """(M, nle, fk, J) from one fused level-parallel kinematics pass.
+
+    M via the world-Jacobian contraction (CRBA equivalent), nle via the
+    batched Newton-Euler balance on propagated twists/bias accelerations —
+    no AD transpose passes, so the traced graph is ~3x smaller than a
+    Lagrangian-AD formulation (this function sits under jacfwd inside the LQ
+    linearization of every SQP solve; graph size == TPU kernel count ==
+    latency). Replaces Pinocchio CRBA + RNEA-at-zero-acceleration.
+    """
+    from wb_humanoid_mpc_tpu.models.kinematics import forward_kinematics_vel
+
+    fk, vb = forward_kinematics_vel(model, q, v)
     J = all_body_jacobians(model, fk)
     M = mass_matrix_from(model, fk, J)
-    nle = nonlinear_effects(model, q, v)
+    nle = nle_newton_euler(model, fk, vb, J)
     return MassNle(M, nle, fk, J)
+
+
+def nonlinear_effects(model: RobotModel, q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """nle(q, v) = C(q,v) v + g(q)   (Coriolis/centrifugal + gravity)."""
+    return mass_and_nle(model, q, v).nle
 
 
 def centroidal_momentum_matrix(model: RobotModel, q: jnp.ndarray) -> jnp.ndarray:
