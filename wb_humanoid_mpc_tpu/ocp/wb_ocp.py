@@ -89,6 +89,17 @@ class WholeBodyOcp:
                              jnp.asarray(quad_mu), jnp.asarray(quad_delta))
 
     def node_terms(self, t, x, u, p: WBNodeParams) -> NodeTerms:
+        return self.fused_node(t, x, u, p)[0]
+
+    def fused_node(self, t, x, u, p: WBNodeParams) -> tuple[NodeTerms, jnp.ndarray]:
+        """(NodeTerms, x_dot) sharing one FK/CRBA/NLE pass.
+
+        The flow map's k1 = [v; a_gen] reuses the same `mass_and_nle` +
+        contact-Jacobian bundle the cost/constraint terms need, so the LQ
+        linearization differentiates the heavy rigid-body graph exactly once
+        per node (reference does the analogous caching via
+        `HumanoidPreComputation`/`WBMpcPreComputation`, SURVEY.md §2.1).
+        """
         c = self.cfg
         model = self.model
         lay = model.layout
@@ -244,7 +255,10 @@ class WholeBodyOcp:
             g_rows.append(row[None])
         g = jnp.concatenate(g_rows)
 
-        return NodeTerms(r=r, h_log=h_log, h_log_mask=h_log_mask, h_quad=h_quad, g=g)
+        terms = NodeTerms(r=r, h_log=h_log, h_log_mask=h_log_mask,
+                          h_quad=h_quad, g=g)
+        x_dot = jnp.concatenate([v, a_gen])
+        return terms, x_dot
 
     def terminal_residual(self, t, x, p: WBNodeParams) -> jnp.ndarray:
         Qf = jnp.asarray(self.cfg.Q_final) * self.cfg.terminal_cost_scaling

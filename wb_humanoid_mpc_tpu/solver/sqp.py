@@ -66,13 +66,15 @@ class SqpSolverConfig:
     al_update_threshold: float = 0.5  # always update multipliers below this |g|
     equality_handling: str = "projection"  # "projection" (exact, reference-like) | "al"
     proj_eps: float = 1e-8      # damping of the constraint pseudo-inverse
+    sensitivity: str = "node"   # "node" (frozen-A RK4 polynomial, 1 linearization)
+                                # | "exact" (differentiate through all RK4 stages)
 
 
 def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Callable:
     """Returns solve(t0, x0, init_traj, params, lam) -> SqpSolution (jittable)."""
 
     lq_approx, total_cost, defects_fn, eq_fn = make_lq_functions(
-        ocp, flow, cfg.dt, cfg.n_nodes, bp)
+        ocp, flow, cfg.dt, cfg.n_nodes, bp, sensitivity=cfg.sensitivity)
     alphas = jnp.asarray(cfg.alphas)
 
     def merit(traj, times, params, lam):

@@ -89,19 +89,52 @@ def node_cost_terms(terms, bp: BarrierParams, lam, rho):
     return c
 
 
-def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams):
+def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams,
+                      sensitivity: str = "exact"):
     """Returns (lq_approximation, total_cost) jittable closures.
 
     `ocp` provides node_terms(t,x,u,p) and terminal_residual(t,x,p);
     `flow(t,x,u)` is the continuous dynamics.
+
+    sensitivity:
+      "exact" — differentiate through the full RK4 step (the reference's
+        variational RK4; 4 dynamics evals under a (nx+nu)-wide jacfwd).
+      "node"  — linearize the continuous dynamics once at the node and
+        discretize the *linearization* with the RK4 matrix polynomial
+        Phi = I + hA + (hA)^2/2 + (hA)^3/6 + (hA)^4/24,
+        Gamma = h (I + hA/2 + (hA)^2/6 + (hA)^3/24) B  (ZOH input).
+        The primal defect still uses exact RK4; only the sensitivity freezes
+        A,B at the node (error O(h^2) in the Jacobian, none in the rollout).
+        Requires `ocp.fused_node(t,x,u,p) -> (NodeTerms, x_dot)`; the x- and
+        u-tangent passes are split so the u-pass only traverses the (cheap)
+        u-dependent subgraph — JAX prunes zero-tangent ops at trace time.
     """
+    if sensitivity not in ("exact", "node"):
+        raise ValueError(f"unknown sensitivity mode {sensitivity!r}")
+    use_fused = sensitivity == "node" and hasattr(ocp, "fused_node")
 
     def combined(t, x, u, p):
         terms = ocp.node_terms(t, x, u, p)
         x_next = rk4_step(flow, t, x, u, dt)
         return terms.r, terms.h_log, terms.h_quad, terms.g, x_next, terms.h_log_mask
 
-    def node_lq(t, x, u, p, lam, rho):
+    def _gn_assemble(r, h_log, h_quad, g, hmask, Jr, Jhl, Jhq, Jg, lam, rho):
+        """Gauss-Newton grad/Hessian over stacked z = (x, u) Jacobians."""
+        pl1 = hmask * relaxed_log_barrier_d1(h_log, bp.log_mu, bp.log_delta)
+        pl2 = hmask * relaxed_log_barrier_d2(h_log, bp.log_mu, bp.log_delta)
+        pq1 = quadratic_barrier_d1(h_quad, bp.quad_mu, bp.quad_delta)
+        pq2 = quadratic_barrier_d2(h_quad, bp.quad_mu, bp.quad_delta)
+        g_al = rho * g + lam
+        grad = Jr.T @ r + Jhl.T @ pl1 + Jhq.T @ pq1 + Jg.T @ g_al
+        Hess = (
+            Jr.T @ Jr
+            + (Jhl.T * pl2) @ Jhl
+            + (Jhq.T * pq2) @ Jhq
+            + rho * (Jg.T @ Jg)
+        )
+        return grad, Hess
+
+    def node_lq_exact(t, x, u, p, lam, rho):
         z = jnp.concatenate([x, u])
         nx = x.shape[0]
 
@@ -111,27 +144,66 @@ def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams):
         (r, h_log, h_quad, g, x_next, hmask), (Jr, Jhl, Jhq, Jg, Jf, _) = (
             fz(z), jax.jacfwd(fz)(z))
 
-        # gradients / GN Hessians of the node cost (masked rows contribute 0)
-        pl1 = hmask * relaxed_log_barrier_d1(h_log, bp.log_mu, bp.log_delta)
-        pl2 = hmask * relaxed_log_barrier_d2(h_log, bp.log_mu, bp.log_delta)
-        pq1 = quadratic_barrier_d1(h_quad, bp.quad_mu, bp.quad_delta)
-        pq2 = quadratic_barrier_d2(h_quad, bp.quad_mu, bp.quad_delta)
-        g_al = rho * g + lam
-
-        grad = Jr.T @ r + Jhl.T @ pl1 + Jhq.T @ pq1 + Jg.T @ g_al
-        Hess = (
-            Jr.T @ Jr
-            + (Jhl.T * pl2) @ Jhl
-            + (Jhq.T * pq2) @ Jhq
-            + rho * (Jg.T @ Jg)
-        )
-
+        grad, Hess = _gn_assemble(r, h_log, h_quad, g, hmask,
+                                  Jr, Jhl, Jhq, Jg, lam, rho)
         cost = node_cost_terms(_Terms(r, h_log, hmask, h_quad, g), bp, lam, rho)
 
         return (Jf[:, :nx], Jf[:, nx:], x_next,
                 Hess[:nx, :nx], Hess[nx:, nx:], Hess[nx:, :nx],
                 grad[:nx], grad[nx:], cost, jnp.max(jnp.abs(g)),
                 g, Jg[:, :nx], Jg[:, nx:])
+
+    def node_lq_fused(t, x, u, p, lam, rho):
+        nx, nu = x.shape[0], u.shape[0]
+
+        def fx(x_):
+            terms, xdot = ocp.fused_node(t, x_, u, p)
+            return (terms.r, terms.h_log, terms.h_quad, terms.g, xdot,
+                    terms.h_log_mask)
+
+        def fu(u_):
+            terms, xdot = ocp.fused_node(t, x, u_, p)
+            return terms.r, terms.h_log, terms.h_quad, terms.g, xdot
+
+        # one heavy linearization over x (the full rigid-body graph) ...
+        (r, h_log, h_quad, g, k1, hmask), jvp_x = jax.linearize(fx, x)
+        Jx = jax.vmap(jvp_x)(jnp.eye(nx, dtype=x.dtype))
+        Jr_x, Jhl_x, Jhq_x, Jg_x, Ac = jax.tree.map(
+            lambda a: jnp.moveaxis(a, 0, -1), Jx[:5])
+        # ... and one cheap linearization over u (x-only ops have symbolic-
+        # zero tangents and are pruned from the tangent graph)
+        _, jvp_u = jax.linearize(fu, u)
+        Ju = jax.vmap(jvp_u)(jnp.eye(nu, dtype=u.dtype))
+        Jr_u, Jhl_u, Jhq_u, Jg_u, Bc = jax.tree.map(
+            lambda a: jnp.moveaxis(a, 0, -1), Ju)
+
+        # exact-RK4 primal step, reusing k1 from the fused evaluation
+        k2 = flow(t + 0.5 * dt, x + 0.5 * dt * k1, u)
+        k3 = flow(t + 0.5 * dt, x + 0.5 * dt * k2, u)
+        k4 = flow(t + dt, x + dt * k3, u)
+        x_next = x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+        # RK4 polynomial of the frozen linearization (Horner, batched matmuls)
+        eye = jnp.eye(nx, dtype=x.dtype)
+        hA = dt * Ac
+        S = eye + (hA / 2.0) @ (eye + (hA / 3.0) @ (eye + hA / 4.0))
+        A_d = eye + hA @ S
+        B_d = dt * (S @ Bc)
+
+        Jr = jnp.concatenate([Jr_x, Jr_u], axis=1)
+        Jhl = jnp.concatenate([Jhl_x, Jhl_u], axis=1)
+        Jhq = jnp.concatenate([Jhq_x, Jhq_u], axis=1)
+        Jg = jnp.concatenate([Jg_x, Jg_u], axis=1)
+        grad, Hess = _gn_assemble(r, h_log, h_quad, g, hmask,
+                                  Jr, Jhl, Jhq, Jg, lam, rho)
+        cost = node_cost_terms(_Terms(r, h_log, hmask, h_quad, g), bp, lam, rho)
+
+        return (A_d, B_d, x_next,
+                Hess[:nx, :nx], Hess[nx:, nx:], Hess[nx:, :nx],
+                grad[:nx], grad[nx:], cost, jnp.max(jnp.abs(g)),
+                g, Jg_x, Jg_u)
+
+    node_lq = node_lq_fused if use_fused else node_lq_exact
 
     def lq_approximation(traj: Trajectory, times, params, lam, rho) -> LQApprox:
         xs, us = traj.xs, traj.us
