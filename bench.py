@@ -41,8 +41,7 @@ def main():
 
     # 1.0 s horizon at the reference's dt=0.035 -> 28 shooting intervals
     N = 28
-    solver_cfg = SqpSolverConfig(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=1,
-                                 reg=1e-4)
+    solver_cfg = SqpSolverConfig(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=1)
     solve = jax.jit(make_sqp_solver(ocp, model.flow_map, ocp.barrier_params(),
                                     solver_cfg))
 

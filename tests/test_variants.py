@@ -31,10 +31,18 @@ def test_srbm_flow_map_consistency():
     assert np.isfinite(np.array(f_srbm)).all()
     # at the nominal posture with zero joint velocity the two agree exactly
     np.testing.assert_allclose(np.array(f_srbm), np.array(f_full), atol=1e-9)
-    # away from nominal they differ (the SRBM approximation is active)
-    x2 = x.at[12].add(0.4).at[15].add(0.3)
+    # SRBM drops the joint-momentum contribution: at the nominal posture with
+    # NONZERO joint velocity the base kinematics must differ (ocs2
+    # SingleRigidBodyDynamics zeroes the joint columns of A)
+    u_qd = u.at[12 + 3].set(0.8)
+    d_qd = np.abs(np.array(srbm.flow_map(0.0, x, u_qd))
+                  - np.array(model.flow_map(0.0, x, u_qd)))
+    assert d_qd[6:12].max() > 1e-6
+    # away from the nominal posture with nonzero momentum the frozen-A
+    # approximation is active too
+    x2 = x.at[12].add(0.4).at[15].add(0.3).at[0].set(0.1).at[4].set(0.05)
     d = np.abs(np.array(srbm.flow_map(0.0, x2, u)) - np.array(model.flow_map(0.0, x2, u)))
-    assert d.max() > 1e-6
+    assert d[6:12].max() > 1e-6
 
 
 def _stance_problem(N=8):

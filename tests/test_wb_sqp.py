@@ -43,7 +43,7 @@ def _stance_problem(N, dtype):
 def test_wb_sqp_stance_converges():
     N = 10
     cfg, model, ocp, x0, params, init, lam = _stance_problem(N, jnp.float64)
-    solver_cfg = SqpSolverConfig(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=3, reg=1e-6)
+    solver_cfg = SqpSolverConfig(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=3)
     solve = jax.jit(make_sqp_solver(ocp, model.flow_map, ocp.barrier_params(), solver_cfg))
     sol = solve(0.0, x0, init, params, lam)
     assert np.isfinite(float(sol.cost))
@@ -65,8 +65,7 @@ def test_wb_sqp_float32_stable():
     N = 8
     with jax.enable_x64(False):
         cfg, model, ocp, x0, params, init, lam = _stance_problem(N, jnp.float32)
-        solver_cfg = SqpSolverConfig(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=3,
-                                     reg=1e-4, rho=1e2)
+        solver_cfg = SqpSolverConfig(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=3, rho=1e2)
         solve = jax.jit(make_sqp_solver(ocp, model.flow_map, ocp.barrier_params(), solver_cfg))
         sol = jax.block_until_ready(solve(0.0, x0, init, params, lam))
     assert np.isfinite(float(sol.cost)), "f32 solve produced non-finite cost"
@@ -80,7 +79,7 @@ def test_wb_sqp_parallel_riccati_matches():
     """Sequential vs associative-scan Riccati inside the full WB SQP."""
     N = 8
     cfg, model, ocp, x0, params, init, lam = _stance_problem(N, jnp.float64)
-    kw = dict(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=1, reg=1e-6)
+    kw = dict(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=1)
     solve_seq = jax.jit(make_sqp_solver(ocp, model.flow_map, ocp.barrier_params(),
                                         SqpSolverConfig(**kw)))
     solve_par = jax.jit(make_sqp_solver(ocp, model.flow_map, ocp.barrier_params(),

@@ -56,6 +56,13 @@ class SolveStats:
     g_norm: float
     defect_norm: float
     step_size: float
+    # per-phase device times; nonzero when the runtime was built with a
+    # staged solver (`make_staged_sqp_solver`) — the reference's
+    # SqpSolver::Benchmarks contract
+    lq_time: float = 0.0
+    projection_time: float = 0.0
+    riccati_time: float = 0.0
+    linesearch_time: float = 0.0
 
 
 class MpcRuntime:
@@ -129,7 +136,15 @@ class MpcRuntime:
         lam = jnp.zeros((self.N, self.n_eq))
 
         t_solve0 = _time.perf_counter()
-        sol: SqpSolution = self.solve_fn(t0, jnp.asarray(x_obs), init_traj, params, lam)
+        out = self.solve_fn(t0, jnp.asarray(x_obs), init_traj, params, lam)
+        # staged solver returns (solution, PhaseTimings); the fused solver
+        # returns the SqpSolution NamedTuple directly (which is also a tuple,
+        # so detect by field)
+        timings = None
+        if hasattr(out, "traj"):
+            sol = out
+        else:
+            sol, timings = out
         sol = jax.block_until_ready(sol)
         t_solve = _time.perf_counter() - t_solve0
 
@@ -145,6 +160,10 @@ class MpcRuntime:
             solve_time=t_solve, reference_time=t_ref,
             cost=float(sol.cost), g_norm=float(sol.g_norm),
             defect_norm=float(sol.defect_norm), step_size=float(sol.step_size),
+            lq_time=timings.lq if timings else 0.0,
+            projection_time=timings.projection if timings else 0.0,
+            riccati_time=timings.riccati if timings else 0.0,
+            linesearch_time=timings.linesearch if timings else 0.0,
         )
 
     def reset(self) -> None:

@@ -139,7 +139,12 @@ class CentroidalOcp:
             twist = J_f @ v
             foot_kin.append((R_f, p_f, J_f, twist))
             err = jnp.concatenate([
-                w[0:3] * p_f * 0.0,                                   # pos ref (0,0,0), zero weight in config
+                # reference position is literally the origin in the reference
+                # implementation (`CentroidalMpcEndEffectorFootCost.cpp:137`,
+                # "TODO Update this reference for non flat ground"); the G1
+                # config zeroes the position weights, but a nonzero weight
+                # must behave like the reference, not be discarded
+                w[0:3] * p_f,
                 w[3:6] * _tilt_error(R_f, jnp.array([0.0, 0.0, 1.0])),
                 w[6:9] * twist[:3] * p.proximity[i],
                 w[9:12] * twist[3:6],

@@ -142,7 +142,10 @@ class WholeBodyOcp:
         for i in range(2):
             R_f, p_f, J_f, twist, acc = foot_kin[i]
             rs.append(jnp.concatenate([
-                w[0:3] * p_f * 0.0,
+                # reference position = origin, as in the reference foot cost
+                # (`CentroidalMpcEndEffectorFootCost.cpp:137`); zero weight in
+                # the G1 config, but nonzero weights must not be discarded
+                w[0:3] * p_f,
                 w[3:6] * _tilt_error(R_f, jnp.array([0.0, 0.0, 1.0])),
                 w[6:9] * twist[:3] * p.proximity[i],
                 w[9:12] * twist[3:6],

@@ -59,7 +59,11 @@ def run_dummy_sim(
         if step % solve_every == 0:
             stats.append(runtime.advance(t, x, cmd))
 
-        x_pol, u, c = runtime.policy.evaluate(t + dt_mrt)
+        # ZOH input over [t, t+dt] is the policy input AT t (evaluating at
+        # t+dt applies every input one interval late — a systematic lag that
+        # makes the closed loop sag); the replayed/logged state is at t+dt.
+        _, u, c = runtime.policy.evaluate(t)
+        x_pol, _, _ = runtime.policy.evaluate(t + dt_mrt)
         if step_fn is not None:
             # TimeTriggeredRollout semantics: integrate the model dynamics
             # under the policy input from the CURRENT plant state

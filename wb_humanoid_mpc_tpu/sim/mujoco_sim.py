@@ -1,12 +1,16 @@
 """MuJoCo simulation interface (the `robot_runtime` equivalent).
 
 Re-provides the reference's `MujocoSimInterface`
-(`MujocoSimInterface.{h,cpp}`: sim thread at dt=0.5 ms, per-step PD+ff torque
+(`MujocoSimInterface.{h,cpp}`: dt=0.5 ms physics, per-step PD+ff torque
 application, `RobotState` extraction with local-frame base velocities, contact
 flags, auto-reset when base z < 0.2 m — `MujocoSimInterface.cpp:313-388`).
-Single-threaded variant: `step_until(t)` advances physics synchronously; the
-closed-loop pacing (MRT at 500 Hz, MPC at 60-80 Hz) is orchestrated by
-`sim/closed_loop.py`. Loads the reference's MJCF G1 model directly.
+Physics advances synchronously via `apply_action_and_step`; the closed-loop
+pacing (MRT at 500 Hz, MPC at 60-80 Hz) is orchestrated by
+`sim/closed_loop.py` (synchronous) — the reference's dedicated 2 kHz sim
+thread maps to the async MRT pipeline there. Loads the reference's MJCF G1
+model directly. Contact flags are read from the MuJoCo contact table
+(improves on the reference's hard-coded-true placeholder,
+`MujocoSimInterface.cpp:313-318`).
 """
 
 from __future__ import annotations
@@ -55,6 +59,12 @@ class MujocoSimInterface:
             jid = self.model.actuator_trnid[i, 0]
             name = mujoco.mj_id2name(self.model, mujoco.mjtObj.mjOBJ_JOINT, jid)
             self._act_joint_idx.append(self.joint_names.index(name))
+        # body ids of the ankle-roll (foot) links for contact-flag extraction
+        self._foot_body_ids = []
+        for side in ("left", "right"):
+            bid = mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_BODY,
+                                    f"{side}_ankle_roll_link")
+            self._foot_body_ids.append(bid)
         self._init_base_pos = np.asarray(initial_base_pos, dtype=float)
         self._init_qj = np.zeros(self.n_joints)
         if initial_joint_positions:
@@ -110,6 +120,15 @@ class MujocoSimInterface:
         )
 
     def _foot_contacts(self) -> list[bool]:
-        """Both-true placeholder matching the reference
-        (`MujocoSimInterface.cpp:313-318` hard-codes contact flags true)."""
-        return [True, True]
+        """Per-foot contact flags from the MuJoCo contact table (the reference
+        hard-codes these true, `MujocoSimInterface.cpp:313-318`; reading the
+        actual contacts makes contact-aware observation possible)."""
+        flags = [False, False]
+        for c in range(self.data.ncon):
+            con = self.data.contact[c]
+            for g in (con.geom1, con.geom2):
+                b = int(self.model.geom_bodyid[g])
+                for i, fb in enumerate(self._foot_body_ids):
+                    if b == fb:
+                        flags[i] = True
+        return flags

@@ -63,9 +63,9 @@ def make_ddp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
 
         costs = jax.vmap(try_alpha)(alphas)
         costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
-        ok = costs < cost0 - cfg.armijo * alphas * jnp.abs(cost0)
-        pick = jnp.where(jnp.any(ok), jnp.argmax(ok), jnp.argmin(costs))
-        accept = jnp.minimum(costs[pick], cost0) < cost0
+        # best candidate (all rollouts already evaluated in parallel)
+        pick = jnp.argmin(costs)
+        accept = costs[pick] < cost0
         alpha = jnp.where(accept, alphas[pick], 0.0)
 
         new_traj = rollout(x0, traj, sol, alpha, times)

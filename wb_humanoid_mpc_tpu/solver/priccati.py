@@ -72,26 +72,32 @@ def _combine(ej, ei):
     return _Elem(A, b, C, J, eta)
 
 
+def stage_leaf(A, B, d, Qxx, Quu, Qux, qx, qu, reg: float) -> _Elem:
+    """Scan element of one LQR stage after eliminating the control and the
+    Qux cross term (complete-the-square; see module docstring). Exposed for
+    the horizon-sharded solvers (`parallel/horizon.py`, `solver/sharded_sqp.py`)."""
+    nu = B.shape[-1]
+    eyeu = jnp.eye(nu, dtype=B.dtype)
+    scale = jnp.maximum(jnp.max(jnp.diagonal(Quu)), 1.0)
+    Quu_r = Quu + (reg * scale) * eyeu
+    L = jnp.linalg.cholesky(0.5 * (Quu_r + Quu_r.swapaxes(-1, -2)))
+    K0 = -jax.scipy.linalg.cho_solve((L, True), Qux)
+    k0 = -jax.scipy.linalg.cho_solve((L, True), qu)
+    BiQ = jax.scipy.linalg.cho_solve((L, True), B.swapaxes(-1, -2))
+    A_p = A + B @ K0
+    d_p = d + B @ k0
+    C = B @ BiQ
+    J = Qxx + Qux.swapaxes(-1, -2) @ K0
+    q_p = qx + K0.swapaxes(-1, -2) @ qu
+    return _Elem(A_p, d_p, 0.5 * (C + C.swapaxes(-1, -2)),
+                 0.5 * (J + J.swapaxes(-1, -2)), -q_p)
+
+
 def _leaves(lq: LQApprox, reg: float):
     N, nx, nu = lq.B.shape[0], lq.B.shape[1], lq.B.shape[2]
-    eyeu = jnp.eye(nu, dtype=lq.B.dtype)
 
-    def leaf(A, B, d, Qxx, Quu, Qux, qx, qu):
-        scale = jnp.maximum(jnp.max(jnp.diagonal(Quu)), 1.0)
-        Quu_r = Quu + (reg * scale) * eyeu
-        L = jnp.linalg.cholesky(0.5 * (Quu_r + Quu_r.swapaxes(-1, -2)))
-        K0 = -jax.scipy.linalg.cho_solve((L, True), Qux)
-        k0 = -jax.scipy.linalg.cho_solve((L, True), qu)
-        BiQ = jax.scipy.linalg.cho_solve((L, True), B.swapaxes(-1, -2))
-        A_p = A + B @ K0
-        d_p = d + B @ k0
-        C = B @ BiQ
-        J = Qxx + Qux.swapaxes(-1, -2) @ K0
-        q_p = qx + K0.swapaxes(-1, -2) @ qu
-        return _Elem(A_p, d_p, 0.5 * (C + C.swapaxes(-1, -2)),
-                     0.5 * (J + J.swapaxes(-1, -2)), -q_p)
-
-    stage = jax.vmap(leaf)(lq.A, lq.B, lq.d, lq.Qxx, lq.Quu, lq.Qux, lq.qx, lq.qu)
+    stage = jax.vmap(lambda *a: stage_leaf(*a, reg))(
+        lq.A, lq.B, lq.d, lq.Qxx, lq.Quu, lq.Qux, lq.qx, lq.qu)
     term = _Elem(
         A=jnp.zeros((1, nx, nx), lq.A.dtype),
         b=jnp.zeros((1, nx), lq.A.dtype),

@@ -54,7 +54,24 @@ def project_lq(lq: LQApprox, Cx: jnp.ndarray, Du: jnp.ndarray, g: jnp.ndarray,
     nu = Du.shape[2]
     nz = nu - nc
 
+    one = project_node(eps)
+
+    A, B, d, Qxx, Quu, Qux, qx, qu, L, Z, w = jax.vmap(one)(
+        lq.A, lq.B, lq.d, lq.Qxx, lq.Quu, lq.Qux, lq.qx, lq.qu, Cx, Du, g)
+
+    reduced = LQApprox(A=A, B=B, d=d, Qxx=Qxx, Quu=Quu, Qux=Qux, qx=qx, qu=qu,
+                       QN=lq.QN, qN=lq.qN, cost=lq.cost, g_norm=lq.g_norm,
+                       defect_norm=lq.defect_norm)
+    return reduced, ProjectionData(L=L, Z=Z, w=w)
+
+
+def project_node(eps: float = 1e-8):
+    """Single-node projection closure (used standalone by the horizon-sharded
+    solver, `solver/sharded_sqp.py`): (A, B, d, Qxx, Quu, Qux, qx, qu, C, D, g)
+    -> (A', B', d', Qxx', Quu', Qux', qx', qu', L, Z, w)."""
+
     def one(A, B, d, Qxx, Quu, Qux, qx, qu, C, D, gv):
+        nc = D.shape[0]
         # damped pseudo-inverse rows (handles masked zero rows); damping is
         # relative to the row scale so float32 stays well conditioned
         M0 = D @ D.T
@@ -81,13 +98,7 @@ def project_lq(lq: LQApprox, Cx: jnp.ndarray, Du: jnp.ndarray, g: jnp.ndarray,
         qu_p = Z.T @ qu_w
         return A_p, B_p, d_p, Qxx_p, Quu_p, Qux_p, qx_p, qu_p, L, Z, w
 
-    A, B, d, Qxx, Quu, Qux, qx, qu, L, Z, w = jax.vmap(one)(
-        lq.A, lq.B, lq.d, lq.Qxx, lq.Quu, lq.Qux, lq.qx, lq.qu, Cx, Du, g)
-
-    reduced = LQApprox(A=A, B=B, d=d, Qxx=Qxx, Quu=Quu, Qux=Qux, qx=qx, qu=qu,
-                       QN=lq.QN, qN=lq.qN, cost=lq.cost, g_norm=lq.g_norm,
-                       defect_norm=lq.defect_norm)
-    return reduced, ProjectionData(L=L, Z=Z, w=w)
+    return one
 
 
 def recover_controls(proj: ProjectionData, dxs: jnp.ndarray, dzs: jnp.ndarray) -> jnp.ndarray:

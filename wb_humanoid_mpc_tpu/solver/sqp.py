@@ -3,16 +3,22 @@
 Replaces ocs2's `SqpSolver` + HPIPM QP backend (SURVEY.md §3.1 hot loop):
 
     per iteration (all inside one jit):
-      1. batched LQ approximation (one jacfwd per node, vmapped)
-      2. Riccati backward pass (lax.scan) with Levenberg regularization
+      1. batched LQ approximation (one fused linearization per node, vmapped)
+      2. equality projection + Riccati backward pass (sequential `lax.scan`
+         or associative-scan O(log N)) with relative Levenberg regularization
       3. linear forward pass -> (dx, du)
-      4. PARALLEL line search: all step sizes evaluated in one vmap, first
-         merit-decreasing alpha selected (replaces the sequential
+      4. PARALLEL line search: all step sizes evaluated in one vmap, the
+         best (lowest-merit) candidate selected (replaces the sequential
          backtracking linesearch of the reference)
       5. augmented-Lagrangian multiplier update on the equality constraints
+         (AL mode only; the default handles equalities by exact projection)
 
-    benchmarks = {lq_time, qp_time (riccati), linesearch_time} mirror the
-    reference's published per-solve timings (`SqpBenchmarksPublisher.cpp:44-57`).
+    `make_sqp_solver` fuses all phases into one XLA program (the production
+    path — per-phase timings are unmeasurable inside it by construction).
+    `make_staged_sqp_solver` jits each phase separately and returns per-phase
+    wall times {lq, projection, riccati, linesearch} per solve — the
+    reference's benchmark contract (`SqpBenchmarksPublisher.cpp:44-57`,
+    {LQ approximation, QP solve, linesearch, controller}).
 
 Everything is shaped [N, ...] with static sizes; `jax.vmap` over a leading
 batch axis yields the batched-instances solver used for scaling benchmarks.
@@ -56,10 +62,18 @@ class SqpSolverConfig:
     dt: float
     sqp_iterations: int = 1
     rho: float = 1e3        # AL penalty parameter
-    reg: float = 1e-6       # Levenberg regularization on Quu
+    # Relative Levenberg regularization on Quu. This is a trust-region knob,
+    # not a numerical-jitter knob: the G1 task files price contact wrenches at
+    # ~3e-6 (R scaling 1e-3, `g1_wb_mpc task.info` R block), so the QP sees a
+    # near-free internal-force null space whose |du| ~ 50 N proposals are only
+    # limited by this damping. Under-regularized (1e-6) the cross-curvature
+    # d2(foot acc)/du dx of those steps stalls the SQP at |g| ~ 5e-2;
+    # at 1e-2 full steps are accepted and stance converges to |g| ~ 5e-4 in
+    # 3 iterations (see round-3 reg sweep). The bias vanishes at convergence
+    # (Levenberg damps steps, not the fixed point).
+    reg: float = 1e-2
     alphas: tuple = (1.0, 0.7, 0.5, 0.3, 0.2, 0.1, 0.05, 0.01)
     defect_weight: float = 1e2  # merit weight on shooting defects
-    armijo: float = 1e-4
     parallel_riccati: bool = False  # associative-scan O(log N) backward pass
     lam_max: float = 1e4        # AL multiplier clamp
     al_decrease: float = 0.9    # require this decrease for updates at large g
@@ -121,14 +135,18 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
         merits = jax.vmap(try_alpha)(alphas)
         # a candidate that produced NaN/inf must never be selected
         merits = jnp.where(jnp.isfinite(merits), merits, jnp.inf)
-        # expected decrease heuristic: accept first alpha whose merit improves
-        ok = merits < merit0 - cfg.armijo * alphas * jnp.abs(merit0)
-        # fall back to the best candidate if none qualifies
-        first_ok = jnp.argmax(ok)
-        any_ok = jnp.any(ok)
+        # Backtracking rule: the LARGEST step that decreases the merit
+        # (alphas are ordered descending, all evaluated in one vmap). Taking
+        # the merit argmin instead was tried in round 3 and REGRESSES the
+        # closed loop: with the AL-heavy merit the argmin favors tiny
+        # constraint-pleasing steps, each receding-horizon plan keeps its
+        # warm-started shape, and height recovery is procrastinated past the
+        # execution window forever (the dummy-sim base sagged ~1-4 cm/s).
+        # Largest-improving executes the most Newton progress per solve.
+        ok = merits < merit0
         best = jnp.argmin(merits)
-        pick = jnp.where(any_ok, first_ok, best)
-        improved = jnp.where(any_ok, jnp.ones(()), (merits[best] < merit0).astype(jnp.float32))
+        pick = jnp.where(jnp.any(ok), jnp.argmax(ok), best)
+        improved = (merits[pick] < merit0).astype(merits.dtype)
         alpha = alphas[pick] * improved  # alpha = 0 -> keep current traj
 
         new_traj = Trajectory(xs=traj.xs + alpha * dxs, us=traj.us + alpha * dus)
@@ -169,5 +187,120 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
             step_size=alphas_used[-1],
             iterations=jnp.asarray(cfg.sqp_iterations),
         )
+
+    return solve
+
+
+class PhaseTimings(NamedTuple):
+    """Per-solve wall times by phase [s], one entry per SQP iteration summed.
+
+    Mirrors the reference's `SqpSolver::Benchmarks` fields streamed on
+    `/humanoid/mpc_benchmarks` (`SqpBenchmarksPublisher.cpp:44-57`):
+    lq <-> linearQuadraticApproximationTime, projection + riccati <->
+    solveQpTime, linesearch <-> linesearchTime.
+    """
+    lq: float
+    projection: float
+    riccati: float
+    linesearch: float
+
+
+def make_staged_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig):
+    """Per-phase-timed SQP solve (diagnostic twin of `make_sqp_solver`).
+
+    Each phase is its own jitted XLA program so real device wall times can be
+    measured around `block_until_ready` boundaries. ~10-20% slower than the
+    fused production solver (host dispatch between phases) — use for
+    benchmarking/profiling, not in the control loop.
+
+    Returns solve(t0, x0, init_traj, params, lam) -> (SqpSolution, PhaseTimings).
+    """
+    import time as _time
+
+    if cfg.equality_handling != "projection":
+        raise ValueError("staged solver only implements the projection path")
+
+    lq_approx, total_cost, defects_fn, eq_fn = make_lq_functions(
+        ocp, flow, cfg.dt, cfg.n_nodes, bp, sensitivity=cfg.sensitivity)
+    alphas = jnp.asarray(cfg.alphas)
+    rho_lq = cfg.rho if cfg.equality_handling == "al" else min(cfg.rho, 1.0)
+
+    @jax.jit
+    def f_lq(traj, times, params, lam):
+        return lq_approx(traj, times, params, lam, rho_lq)
+
+    @jax.jit
+    def f_project(lq):
+        return project_lq(lq, lq.Cx, lq.Du, lq.g_res, cfg.proj_eps)
+
+    @jax.jit
+    def f_riccati(reduced, dx0):
+        if cfg.parallel_riccati:
+            sol = parallel_backward_pass(reduced, cfg.reg)
+            return parallel_forward_pass(reduced, sol, dx0)
+        sol = backward_pass(reduced, cfg.reg)
+        return forward_pass(reduced, sol, dx0)
+
+    @jax.jit
+    def f_linesearch(traj, times, params, lam, dxs, dus):
+        def merit(tr):
+            c, gmax = total_cost(tr, times, params, lam, cfg.rho)
+            d = defects_fn(tr, times)
+            return c + cfg.defect_weight * jnp.sum(jnp.abs(d)), gmax
+
+        m0, _ = merit(traj)
+
+        def try_alpha(a):
+            cand = Trajectory(xs=traj.xs + a * dxs, us=traj.us + a * dus)
+            m, _ = merit(cand)
+            return m
+
+        merits = jax.vmap(try_alpha)(alphas)
+        merits = jnp.where(jnp.isfinite(merits), merits, jnp.inf)
+        # largest improving step (see make_sqp_solver for why not argmin)
+        ok = merits < m0
+        pick = jnp.where(jnp.any(ok), jnp.argmax(ok), jnp.argmin(merits))
+        alpha = alphas[pick] * (merits[pick] < m0).astype(merits.dtype)
+        new_traj = Trajectory(xs=traj.xs + alpha * dxs, us=traj.us + alpha * dus)
+        g = eq_fn(new_traj, times, params)
+        return new_traj, alpha, jnp.max(jnp.abs(g))
+
+    @jax.jit
+    def f_recover(proj, dxs, dzs):
+        return recover_controls(proj, dxs, dzs)
+
+    def solve(t0, x0, init_traj: Trajectory, params, lam):
+        times = t0 + cfg.dt * jnp.arange(cfg.n_nodes + 1)
+        traj = init_traj
+        t_lq = t_proj = t_ric = t_ls = 0.0
+        alpha = g_max = jnp.zeros(())
+        lq = None
+        for _ in range(cfg.sqp_iterations):
+            t0_ = _time.perf_counter()
+            lq = jax.block_until_ready(f_lq(traj, times, params, lam))
+            t_lq += _time.perf_counter() - t0_
+
+            dx0 = x0 - traj.xs[0]
+            t0_ = _time.perf_counter()
+            reduced, proj = jax.block_until_ready(f_project(lq))
+            t_proj += _time.perf_counter() - t0_
+
+            t0_ = _time.perf_counter()
+            dxs, dzs = jax.block_until_ready(f_riccati(reduced, dx0))
+            dus = jax.block_until_ready(f_recover(proj, dxs, dzs))
+            t_ric += _time.perf_counter() - t0_
+
+            t0_ = _time.perf_counter()
+            traj, alpha, g_max = jax.block_until_ready(
+                f_linesearch(traj, times, params, lam, dxs, dus))
+            t_ls += _time.perf_counter() - t0_
+
+        d = defects_fn(traj, times)
+        sol = SqpSolution(
+            traj=traj, lam=lam, cost=lq.cost, g_norm=g_max,
+            defect_norm=jnp.max(jnp.abs(d)), step_size=alpha,
+            iterations=jnp.asarray(cfg.sqp_iterations))
+        return sol, PhaseTimings(lq=t_lq, projection=t_proj, riccati=t_ric,
+                                 linesearch=t_ls)
 
     return solve

@@ -89,9 +89,14 @@ def node_cost_terms(terms, bp: BarrierParams, lam, rho):
     return c
 
 
-def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams,
-                      sensitivity: str = "exact"):
-    """Returns (lq_approximation, total_cost) jittable closures.
+def make_node_lq(ocp, flow, dt: float, bp: BarrierParams,
+                 sensitivity: str = "exact") -> Callable:
+    """Single-node LQ builder: (t, x, u, p, lam, rho) -> 13-tuple of
+    (A, B, x_next, Qxx, Quu, Qux, qx, qu, cost, g_max, g, Cx, Du).
+
+    The vmap-over-nodes wrapper lives in `make_lq_functions`; the
+    horizon-sharded solver (`solver/sharded_sqp.py`) vmaps this over its
+    local node block instead.
 
     `ocp` provides node_terms(t,x,u,p) and terminal_residual(t,x,p);
     `flow(t,x,u)` is the continuous dynamics.
@@ -108,10 +113,15 @@ def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams,
         Requires `ocp.fused_node(t,x,u,p) -> (NodeTerms, x_dot)`; the x- and
         u-tangent passes are split so the u-pass only traverses the (cheap)
         u-dependent subgraph — JAX prunes zero-tangent ops at trace time.
+      "midpoint" — like "node" but A,B are frozen at the RK4 *midpoint*
+        state x + (h/2) k1 (exp(h·A_mid) is the O(h^3) Magnus/midpoint
+        approximation of the exact state-transition matrix vs O(h^2) at the
+        node). Costs one extra flow linearization; the cost/constraint terms
+        are still linearized once at the node via `fused_node`.
     """
-    if sensitivity not in ("exact", "node"):
+    if sensitivity not in ("exact", "node", "midpoint"):
         raise ValueError(f"unknown sensitivity mode {sensitivity!r}")
-    use_fused = sensitivity == "node" and hasattr(ocp, "fused_node")
+    use_fused = sensitivity in ("node", "midpoint") and hasattr(ocp, "fused_node")
 
     def combined(t, x, u, p):
         terms = ocp.node_terms(t, x, u, p)
@@ -178,7 +188,18 @@ def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams,
             lambda a: jnp.moveaxis(a, 0, -1), Ju)
 
         # exact-RK4 primal step, reusing k1 from the fused evaluation
-        k2 = flow(t + 0.5 * dt, x + 0.5 * dt * k1, u)
+        if sensitivity == "midpoint":
+            # relinearize the flow at the RK4 midpoint (heavy x-pass + cheap
+            # u-pass); exp(h A_mid) matches the true transition matrix to
+            # O(h^3) (midpoint/Magnus) instead of O(h^2) at the node
+            x_mid = x + 0.5 * dt * k1
+            t_mid = t + 0.5 * dt
+            k2, jvp_fx = jax.linearize(lambda x_: flow(t_mid, x_, u), x_mid)
+            Ac = jnp.moveaxis(jax.vmap(jvp_fx)(jnp.eye(nx, dtype=x.dtype)), 0, -1)
+            _, jvp_fu = jax.linearize(lambda u_: flow(t_mid, x_mid, u_), u)
+            Bc = jnp.moveaxis(jax.vmap(jvp_fu)(jnp.eye(nu, dtype=u.dtype)), 0, -1)
+        else:
+            k2 = flow(t + 0.5 * dt, x + 0.5 * dt * k1, u)
         k3 = flow(t + 0.5 * dt, x + 0.5 * dt * k2, u)
         k4 = flow(t + dt, x + dt * k3, u)
         x_next = x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
@@ -203,7 +224,15 @@ def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams,
                 grad[:nx], grad[nx:], cost, jnp.max(jnp.abs(g)),
                 g, Jg_x, Jg_u)
 
-    node_lq = node_lq_fused if use_fused else node_lq_exact
+    return node_lq_fused if use_fused else node_lq_exact
+
+
+def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams,
+                      sensitivity: str = "exact"):
+    """Returns (lq_approximation, total_cost, defects, eq_residuals) jittable
+    closures over full [N(+1), ...] trajectories (see `make_node_lq` for the
+    per-node contract and sensitivity modes)."""
+    node_lq = make_node_lq(ocp, flow, dt, bp, sensitivity)
 
     def lq_approximation(traj: Trajectory, times, params, lam, rho) -> LQApprox:
         xs, us = traj.xs, traj.us

@@ -42,6 +42,13 @@ class SolveBenchmark:
     cost: float
     g_norm: float
     step_size: float
+    # per-phase device wall times (reference SqpSolver::Benchmarks fields,
+    # `SqpBenchmarksPublisher.cpp:44-57`); populated when the runtime solves
+    # through `make_staged_sqp_solver`, zero for the fused production solver
+    lq_time: float = 0.0
+    projection_time: float = 0.0
+    riccati_time: float = 0.0
+    linesearch_time: float = 0.0
 
 
 class BenchmarksPublisher:
@@ -62,6 +69,10 @@ class BenchmarksPublisher:
             cost=stats.cost,
             g_norm=stats.g_norm,
             step_size=stats.step_size,
+            lq_time=getattr(stats, "lq_time", 0.0),
+            projection_time=getattr(stats, "projection_time", 0.0),
+            riccati_time=getattr(stats, "riccati_time", 0.0),
+            linesearch_time=getattr(stats, "linesearch_time", 0.0),
         )
         self.history.append(b)
         for fn in self._subscribers:
@@ -71,7 +82,7 @@ class BenchmarksPublisher:
         if not self.history:
             return {}
         st = np.array([b.solve_time for b in self.history])
-        return {
+        out = {
             "n_solves": len(self.history),
             "solve_time_p50": float(np.percentile(st, 50)),
             "solve_time_p95": float(np.percentile(st, 95)),
@@ -80,3 +91,8 @@ class BenchmarksPublisher:
             "g_norm_max": float(max(b.g_norm for b in self.history)),
             "mean_step_size": float(np.mean([b.step_size for b in self.history])),
         }
+        for phase in ("lq", "projection", "riccati", "linesearch"):
+            vals = np.array([getattr(b, f"{phase}_time") for b in self.history])
+            if vals.any():
+                out[f"{phase}_time_p50"] = float(np.percentile(vals, 50))
+        return out
