@@ -41,6 +41,7 @@ class CentroidalMpcInterface:
     motion_manager: MotionManager
     n_nodes: int
     dt: float
+    gains: "GainsService" = None  # live re-tuning (reference GainsReceiver)
 
     @property
     def initial_state(self) -> np.ndarray:
@@ -135,8 +136,18 @@ def build_centroidal_mpc(
         # normalized centroidal momentum ~ com velocity / yaw rate estimate
         base_vel_extractor=lambda x: np.array([x[0], x[1], x[2], x[5], x[4], x[3]]),
     )
+    # live gain re-tuning: mutates cfg and swaps in a freshly jitted solver
+    # (reference `GainsReceiver.cpp:44` updates every OCP copy of the live
+    # solver; here the jitted solve IS the OCP copy)
+    from wb_humanoid_mpc_tpu.mpc.gains import GainsService
+
+    def _rebuild():
+        runtime.solve_fn = jax.jit(
+            make_sqp_solver(ocp, model.flow_map, ocp.barrier_params(), solver_cfg))
+
     return CentroidalMpcInterface(cfg=cfg, model=model, ocp=ocp, runtime=runtime,
-                                  motion_manager=mm, n_nodes=n_nodes, dt=dt)
+                                  motion_manager=mm, n_nodes=n_nodes, dt=dt,
+                                  gains=GainsService(cfg, _rebuild))
 
 
 @dataclasses.dataclass
@@ -148,6 +159,7 @@ class WBMpcInterface:
     motion_manager: MotionManager
     n_nodes: int
     dt: float
+    gains: "GainsService" = None  # live re-tuning (reference GainsReceiver)
 
     @property
     def initial_state(self) -> np.ndarray:
@@ -231,5 +243,12 @@ def build_wb_mpc(
         default_input=u_default,
         base_vel_extractor=lambda x: x[6 + n_j: 12 + n_j],
     )
+    from wb_humanoid_mpc_tpu.mpc.gains import GainsService
+
+    def _rebuild():
+        runtime.solve_fn = jax.jit(
+            make_sqp_solver(ocp, model.flow_map, ocp.barrier_params(), solver_cfg))
+
     return WBMpcInterface(cfg=cfg, model=model, ocp=ocp, runtime=runtime,
-                          motion_manager=mm, n_nodes=n_nodes, dt=dt)
+                          motion_manager=mm, n_nodes=n_nodes, dt=dt,
+                          gains=GainsService(cfg, _rebuild))

@@ -114,6 +114,25 @@ class MotionManager:
         self.current_gait = "stance"
         self.last_gait = "stance"
         self.last_gait_change_time = -1.0
+        self._gait_request: str | None = None
+        self._pose_cmd: np.ndarray | None = None
+        self._pose_targets = None
+
+    # ---- operator command plane ----
+    def request_gait(self, name: str) -> None:
+        """Operator gait override (reference `GaitKeyboardPublisher.cpp:53,89`
+        -> `GaitScheduleUpdaterRos2`): applied at the next pre_solve, takes
+        precedence over the velocity FSM until the FSM changes mode again."""
+        if name not in self.gait_map:
+            raise KeyError(f"unknown gait {name!r}; have {sorted(self.gait_map)}")
+        self._gait_request = name
+
+    def set_pose_command(self, pose_delta: np.ndarray) -> None:
+        """Pose-delta target [dx, dy, dz, dyaw_deg] (reference
+        `CentroidalMpcKeyboardPoseCommandNode.cpp:68-86`): overrides the
+        velocity targets until a nonzero velocity command arrives."""
+        self._pose_cmd = np.asarray(pose_delta, dtype=float).copy()
+        self._pose_targets = None
 
     # ---- gait FSM (reference ProceduralMpcMotionManager.cpp:86-160) ----
     def _update_gait_fsm(self, t: float, cmd: np.ndarray, base_vel: np.ndarray) -> None:
@@ -153,17 +172,25 @@ class MotionManager:
         if idx >= len(ms.event_times):
             next_event = tf
         else:
-            # Pick the first boundary where the PRECEDING phase differs from
-            # the template's first mode: inserting an LF-first template right
-            # after an existing LF phase would chain two full swings of the
-            # same foot (>1 s of single support — observed to topple the
-            # robot). Extends the reference's LF-alignment heuristic
-            # (`GaitScheduleUpdater.cpp:55-65`).
+            # Pick the first boundary whose last SWING phase (skipping any
+            # stance phases in between) differs from the template's first
+            # mode: inserting an LF-first template after "... LF, STANCE"
+            # chains two same-foot swings with only a brief stance between
+            # (observed to topple the robot at the 1.2 s horizon — the old
+            # check only looked at the phase immediately before the boundary,
+            # which the interleaved STANCE satisfied vacuously). Extends the
+            # reference's LF-alignment heuristic (`GaitScheduleUpdater.cpp:55-65`).
+            from wb_humanoid_mpc_tpu.refs.gait import STANCE
+
             template_first = int(template.mode_sequence[0])
+            seq = list(ms.mode_sequence)
             next_event = None
-            for e in ms.event_times[idx:]:
-                if ms.mode_at(e - 1e-9) != template_first:
-                    next_event = float(e)
+            for j in range(idx, len(ms.event_times)):
+                prev_swing = next(
+                    (int(m) for m in reversed(seq[:j + 1]) if int(m) != STANCE),
+                    None)
+                if prev_swing is None or prev_swing != template_first:
+                    next_event = float(ms.event_times[j])
                     break
             if next_event is None:
                 next_event = float(ms.event_times[-1])
@@ -181,7 +208,16 @@ class MotionManager:
 
         if base_vel_estimate is None:
             base_vel_estimate = np.zeros(6)
-        self._update_gait_fsm(t0, filtered, base_vel_estimate)
+        if self._gait_request is not None:
+            # operator override (GaitKeyboardPublisher path)
+            self.current_gait = self._gait_request
+            self.fsm_mode = next(
+                (i for i, row in enumerate(GAIT_FSM_TABLE)
+                 if row.gait == self._gait_request), self.fsm_mode)
+            self.last_gait_change_time = t0
+            self._gait_request = None
+        else:
+            self._update_gait_fsm(t0, filtered, base_vel_estimate)
         self._update_gait_schedule(t0, tf)
 
         # mode schedule over extended window (reference modifyReferences: [t0-T, tf+T])
@@ -204,7 +240,20 @@ class MotionManager:
         times = t0 + np.linspace(0.0, self.horizon, self.n_nodes + 1)
         swing = sample_swing_reference(self.swing_planner, times)
 
-        targets = self.calc.velocity_to_targets(filtered, t0, np.asarray(x_init))
+        # pose-command mode: hold the 2-knot pose target until a nonzero
+        # velocity command clears it (reference pose command node semantics)
+        if self._pose_cmd is not None and np.abs(scaled[[0, 1, 3]]).max() > 1e-6:
+            self._pose_cmd = None
+            self._pose_targets = None
+        if self._pose_cmd is not None:
+            if self._pose_targets is None:
+                nx = len(x_init)
+                pose_slice = slice(self.joint_start - 6, self.joint_start)
+                self._pose_targets = self.calc.position_to_targets(
+                    self._pose_cmd, t0, np.asarray(x_init), pose_slice, nx)
+            targets = self._pose_targets
+        else:
+            targets = self.calc.velocity_to_targets(filtered, t0, np.asarray(x_init))
         x_ref = targets.sample(times)
 
         # arm swing (reference SwitchedModelReferenceManager.cpp:110-135)

@@ -95,6 +95,44 @@ class _BaseCalculator:
         displacement = float(np.hypot(delta[0], delta[1]))
         return max(rotation_time, displacement / self.ref_cfg.target_displacement_velocity)
 
+    def _delta_base_target(self, cmd: np.ndarray, current_pose: np.ndarray,
+                           max_delta_height: float = 0.5) -> np.ndarray:
+        """Pose-delta command [dx, dy, dz, dyaw_deg] (base frame) -> absolute
+        6-dim base pose target (reference
+        `TargetTrajectoriesCalculatorBase.cpp:71-95` getDeltaBaseTarget)."""
+        ez = current_pose[3]
+        gx = np.cos(ez) * cmd[0] - np.sin(ez) * cmd[1]
+        gy = np.sin(ez) * cmd[0] + np.cos(ez) * cmd[1]
+        target = np.zeros(6)
+        target[0] = current_pose[0] + gx
+        target[1] = current_pose[1] + gy
+        target[2] = self.ref_cfg.default_base_height + np.clip(
+            cmd[2], -max_delta_height, max_delta_height)
+        target[3] = current_pose[3] + np.deg2rad(cmd[3])
+        return target
+
+    def position_to_targets(self, pose_cmd: np.ndarray, t0: float,
+                            x_init: np.ndarray, pose_slice: slice,
+                            nx: int) -> TargetTrajectories:
+        """Pose-delta command -> 2-knot state trajectory (reference
+        `CentroidalMpcTargetTrajectoriesCalculator.cpp:57-80`
+        commandedPositionToTargetTrajectories; the keyboard pose-command node
+        `CentroidalMpcKeyboardPoseCommandNode.cpp:68-86` feeds this)."""
+        current = np.asarray(x_init[pose_slice], dtype=float).copy()
+        current[4] = 0.0
+        current[5] = 0.0
+        target = self._delta_base_target(np.asarray(pose_cmd, dtype=float), current)
+        t_reach = t0 + self.estimate_time_to_target(target - current)
+        states = np.zeros((2, nx))
+        for i, p in enumerate((current, target)):
+            states[i, pose_slice] = p
+            # joints at default on both knots
+            j0 = pose_slice.stop
+            states[i, j0:j0 + len(self.ref_cfg.default_joint_state)] = (
+                self.ref_cfg.default_joint_state)
+        return TargetTrajectories(np.array([t0, t_reach]), states)
+
+
 
 @dataclasses.dataclass
 class CentroidalTargetCalculator(_BaseCalculator):
@@ -146,6 +184,7 @@ class CentroidalTargetCalculator(_BaseCalculator):
             states[i, 12:] = self.ref_cfg.default_joint_state
         times = np.array([t0, t0 + t_mid, t0 + self.mpc_horizon])
         return TargetTrajectories(times, states)
+
 
 
 @dataclasses.dataclass

@@ -3,10 +3,17 @@
 The headless equivalent of the reference's `CentroidalMpcRobotSim` /
 `WBMpcRobotSim` (SURVEY.md §3.3, `CentroidalMpcRobotSim.cpp:45-165`):
 physics at 2 kHz, MRT control loop at `mrt_frequency`, MPC solves at
-`mpc_frequency`, PD+ff torques in between. Synchronous (no threads): the
-TPU solver is one blocking jitted call; the reference's solver-thread /
-control-thread split is replaced by sequential interleaving at the same rates,
-which preserves the control timeline deterministically.
+`mpc_frequency`, PD+ff torques in between.
+
+Two pacing modes:
+- synchronous (default): solves interleave with control ticks — deterministic,
+  solver latency not charged to the timeline;
+- `solve_latency > 0`: async MRT semantics via
+  `mpc.async_runtime.SimulatedLatencyMpc` — a solve dispatched at sim time t
+  activates at t + solve_latency, so control ticks continue on stale policies
+  exactly as with the reference's solver thread (`CentroidalMpcMrtJointController
+  .cpp:235-260`), reproducibly. The wall-clock threaded pipeline
+  (`mpc.async_runtime.MrtPipeline`) is used by the launch CLI.
 """
 
 from __future__ import annotations
@@ -41,6 +48,10 @@ def run_mujoco_closed_loop(
     mpc_frequency: float = 80.0,
     command_fn=None,
     observation_fn=None,          # (model, RobotState) -> mpc state vector
+    solve_latency: float = 0.0,   # > 0: async MRT semantics — a policy becomes
+                                  # active solve_latency sim-seconds after its
+                                  # observation (mpc/async_runtime.py), so the
+                                  # solver never stalls control ticks
 ) -> ClosedLoopLog:
     model = mpc_interface.model
     runtime = mpc_interface.runtime
@@ -68,6 +79,12 @@ def run_mujoco_closed_loop(
     solve_every = max(int(round(mrt_frequency / mpc_frequency)), 1)
     n_steps = int(round(duration * mrt_frequency))
 
+    async_mpc = None
+    if solve_latency > 0.0:
+        from wb_humanoid_mpc_tpu.mpc.async_runtime import SimulatedLatencyMpc
+
+        async_mpc = SimulatedLatencyMpc(runtime, mpc_frequency, solve_latency)
+
     times, base_pos, heights, qjs = [], [], [], []
     stats = []
 
@@ -77,10 +94,15 @@ def run_mujoco_closed_loop(
         x_obs = observe(rs)
 
         cmd = np.zeros(4) if command_fn is None else np.asarray(command_fn(t))
-        if step % solve_every == 0:
-            stats.append(runtime.advance(t, x_obs, cmd))
+        if async_mpc is not None:
+            policy = async_mpc.tick(t, x_obs, cmd)
+            stats = async_mpc.stats
+        else:
+            if step % solve_every == 0:
+                stats.append(runtime.advance(t, x_obs, cmd))
+            policy = runtime.policy
 
-        action_mpc = controller.compute(t, x_obs, runtime.policy)
+        action_mpc = controller.compute(t, x_obs, policy)
 
         # assemble full-robot action: MPC joints + held fixed joints
         n_full = sim.n_joints

@@ -65,10 +65,11 @@ def make_sharded_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig,
     rho_lq = min(cfg.rho, 1.0)
     alphas = jnp.asarray(cfg.alphas)
 
-    def node_merit_cost(t, x, u, p, lam):
+    def node_perf(t, x, u, p):
+        """(pure cost, SSE(g), max|g|) per node — filter line-search pieces."""
         terms = ocp.node_terms(t, x, u, p)
-        return (node_cost_terms(terms, bp, lam, cfg.rho),
-                jnp.max(jnp.abs(terms.g)))
+        c = node_cost_terms(terms, bp, jnp.zeros_like(terms.g), 1e-12)
+        return c, jnp.sum(terms.g**2), jnp.max(jnp.abs(terms.g))
 
     def term_quad(t, x, p):
         rT = ocp.terminal_residual(t, x, p)
@@ -97,10 +98,11 @@ def make_sharded_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig,
         i_h = jax.lax.axis_index(horizon_axis)
 
         def merit_parts(xs_, us_):
-            """(merit, g_max) per batch element — psum'd over the horizon."""
-            costs, gmax = jax.vmap(jax.vmap(
-                node_merit_cost, in_axes=(0, 0, 0, 0, 0)),
-                in_axes=(None, 0, 0, 0, 0))(times, xs_, us_, params, lam)
+            """(cost, violation, g_max, d_max) per batch element — psum'd
+            over the horizon (ocs2 PerformanceIndex for the filter search)."""
+            costs, g_sse, gmax = jax.vmap(jax.vmap(
+                node_perf, in_axes=(0, 0, 0, 0)),
+                in_axes=(None, 0, 0, 0))(times, xs_, us_, params)
             cT = jax.vmap(jax.vmap(
                 lambda x_, p_: term_quad(t_term, x_, p_)[2]))(xs_, params)
             c_loc = jnp.sum(jnp.where(stage_valid, costs, 0.0), axis=1) \
@@ -110,12 +112,14 @@ def make_sharded_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig,
                 in_axes=(0, 0, 0)), in_axes=(None, 0, 0))(times, xs_, us_)
             d = x_next - shift_left(xs_, horizon_axis)
             d = jnp.where(stage_valid[None, :, None], d, 0.0)
-            c_loc = c_loc + cfg.defect_weight * jnp.sum(jnp.abs(d), axis=(1, 2))
+            v_loc = (jnp.sum(jnp.where(stage_valid, g_sse, 0.0), axis=1)
+                     + jnp.sum(d**2, axis=(1, 2)))
             g_loc = jnp.max(jnp.where(stage_valid, gmax, 0.0), axis=1)
-            merit = jax.lax.psum(c_loc, horizon_axis)
+            cost = jax.lax.psum(c_loc, horizon_axis)
+            viol = jnp.sqrt(jax.lax.psum(v_loc, horizon_axis))
             g_max = jax.lax.pmax(g_loc, horizon_axis)
             d_max = jax.lax.pmax(jnp.max(jnp.abs(d), axis=(1, 2)), horizon_axis)
-            return merit, g_max, d_max
+            return cost, viol, g_max, d_max
 
         def one_iteration(carry, _):
             xs, us = carry
@@ -175,25 +179,27 @@ def make_sharded_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig,
             dus = (jnp.einsum("bkij,bkj->bki", Lp, dx_here)
                    + jnp.einsum("bkij,bkj->bki", Zp, dzs) + wp)
 
-            # ---- parallel line search (argmin merit, per batch element) ----
-            m0, _, _ = merit_parts(xs, us)
+            # ---- parallel FILTER line search (per batch element) ----
+            c0, v0, _, _ = merit_parts(xs, us)
 
             def try_alpha(a):
-                m, _, _ = merit_parts(xs + a * dx_here, us + a * dus)
-                return m
+                c, v, _, _ = merit_parts(xs + a * dx_here, us + a * dus)
+                return c, v
 
-            merits = jax.vmap(try_alpha)(alphas)          # [n_alpha, B]
-            merits = jnp.where(jnp.isfinite(merits), merits, jnp.inf)
-            # largest improving step per instance (matches make_sqp_solver)
-            ok = merits < m0[None]
-            pick = jnp.where(jnp.any(ok, axis=0), jnp.argmax(ok, axis=0),
-                             jnp.argmin(merits, axis=0))  # [B]
-            m_pick = jnp.take_along_axis(merits, pick[None], axis=0)[0]
-            alpha = alphas[pick] * (m_pick < m0).astype(dtype)  # [B]
+            cs, vs = jax.vmap(try_alpha)(alphas)          # [n_alpha, B]
+            finite = jnp.isfinite(cs) & jnp.isfinite(vs)
+            ok = jnp.where(
+                v0[None] > cfg.filter_g_max,
+                vs < (1.0 - 1e-6) * v0[None],
+                jnp.where(vs < cfg.filter_g_min, cs < c0[None],
+                          (cs < c0[None]) | (vs < (1.0 - 1e-6) * v0[None])),
+            ) & finite
+            pick = jnp.argmax(ok, axis=0)                 # [B]
+            alpha = alphas[pick] * jnp.any(ok, axis=0).astype(dtype)  # [B]
             xs = xs + alpha[:, None, None] * dx_here
             us = us + alpha[:, None, None] * dus
 
-            _, g_max, d_max = merit_parts(xs, us)
+            _, _, g_max, d_max = merit_parts(xs, us)
             cost_tot = jax.lax.psum(
                 jnp.sum(jnp.where(stage_valid, cost_n, 0.0), axis=1),
                 horizon_axis)

@@ -81,13 +81,26 @@ class SqpSolverConfig:
     equality_handling: str = "projection"  # "projection" (exact, reference-like) | "al"
     proj_eps: float = 1e-8      # damping of the constraint pseudo-inverse
     sensitivity: str = "node"   # "node" (frozen-A RK4 polynomial, 1 linearization)
+                                # | "midpoint" (A,B at the RK4 midpoint, O(h^3))
                                 # | "exact" (differentiate through all RK4 stages)
+    # Line search. "filter" reproduces ocs2's FilterLinesearch (the reference
+    # solver's globalization; `multiple_shooting.{g_max,g_min}` in task.info):
+    #   violation v = sqrt(SSE(g) + SSE(defects));
+    #   v0 > g_max           -> accept only if v decreases,
+    #   g_min < v < g_max    -> accept if EITHER cost or violation decreases,
+    #   v < g_min            -> accept on cost decrease.
+    # The AL-merit search ("merit") rejects feasibility-restoring steps when
+    # the tracking-cost increase outweighs the penalty decrease — observed to
+    # equilibrate walking solves at |g| ~ 0.1 instead of converging.
+    line_search: str = "filter"
+    filter_g_max: float = 1e-2  # reference task.info multiple_shooting.g_max
+    filter_g_min: float = 1e-6  # reference task.info multiple_shooting.g_min
 
 
 def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Callable:
     """Returns solve(t0, x0, init_traj, params, lam) -> SqpSolution (jittable)."""
 
-    lq_approx, total_cost, defects_fn, eq_fn = make_lq_functions(
+    lq_approx, total_cost, defects_fn, eq_fn, cost_violation = make_lq_functions(
         ocp, flow, cfg.dt, cfg.n_nodes, bp, sensitivity=cfg.sensitivity)
     alphas = jnp.asarray(cfg.alphas)
 
@@ -95,6 +108,12 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
         c, gmax = total_cost(traj, times, params, lam, cfg.rho)
         d = defects_fn(traj, times)
         return c + cfg.defect_weight * jnp.sum(jnp.abs(d)), gmax
+
+    def perf(traj, times, params):
+        """(cost, violation) — ocs2 PerformanceIndex for the filter search."""
+        c, g_sse, _ = cost_violation(traj, times, params)
+        d = defects_fn(traj, times)
+        return c, jnp.sqrt(g_sse + jnp.sum(d**2))
 
     # With exact projection the equality penalty must NOT dominate the LQ
     # cost: its rho*Jg^T Jg Gauss-Newton block only cancels on the constraint
@@ -125,29 +144,47 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
             sol = backward_pass(lq, cfg.reg)
             dxs, dus = forward_pass(lq, sol, dx0)
 
-        merit0, _ = merit(traj, times, params, lam)
+        if cfg.line_search == "filter":
+            # ocs2 FilterLinesearch (see SqpSolverConfig docstring); all
+            # candidates evaluated in one vmap, the LARGEST accepted step
+            # wins (alphas ordered descending)
+            c0, v0 = perf(traj, times, params)
 
-        def try_alpha(a):
-            cand = Trajectory(xs=traj.xs + a * dxs, us=traj.us + a * dus)
-            m, _ = merit(cand, times, params, lam)
-            return m
+            def try_alpha(a):
+                cand = Trajectory(xs=traj.xs + a * dxs, us=traj.us + a * dus)
+                return perf(cand, times, params)
 
-        merits = jax.vmap(try_alpha)(alphas)
-        # a candidate that produced NaN/inf must never be selected
-        merits = jnp.where(jnp.isfinite(merits), merits, jnp.inf)
-        # Backtracking rule: the LARGEST step that decreases the merit
-        # (alphas are ordered descending, all evaluated in one vmap). Taking
-        # the merit argmin instead was tried in round 3 and REGRESSES the
-        # closed loop: with the AL-heavy merit the argmin favors tiny
-        # constraint-pleasing steps, each receding-horizon plan keeps its
-        # warm-started shape, and height recovery is procrastinated past the
-        # execution window forever (the dummy-sim base sagged ~1-4 cm/s).
-        # Largest-improving executes the most Newton progress per solve.
-        ok = merits < merit0
-        best = jnp.argmin(merits)
-        pick = jnp.where(jnp.any(ok), jnp.argmax(ok), best)
-        improved = (merits[pick] < merit0).astype(merits.dtype)
-        alpha = alphas[pick] * improved  # alpha = 0 -> keep current traj
+            cs, vs = jax.vmap(try_alpha)(alphas)
+            finite = jnp.isfinite(cs) & jnp.isfinite(vs)
+            ok = jnp.where(
+                v0 > cfg.filter_g_max,
+                vs < (1.0 - 1e-6) * v0,
+                jnp.where(vs < cfg.filter_g_min,
+                          cs < c0,
+                          (cs < c0) | (vs < (1.0 - 1e-6) * v0)),
+            ) & finite
+            alpha = alphas[jnp.argmax(ok)] * jnp.any(ok).astype(alphas.dtype)
+        else:
+            merit0, _ = merit(traj, times, params, lam)
+
+            def try_alpha(a):
+                cand = Trajectory(xs=traj.xs + a * dxs, us=traj.us + a * dus)
+                m, _ = merit(cand, times, params, lam)
+                return m
+
+            merits = jax.vmap(try_alpha)(alphas)
+            # a candidate that produced NaN/inf must never be selected
+            merits = jnp.where(jnp.isfinite(merits), merits, jnp.inf)
+            # Backtracking rule: the LARGEST step that decreases the merit.
+            # Taking the merit argmin instead was tried in round 3 and
+            # REGRESSES the closed loop: the AL-heavy merit argmin favors
+            # tiny constraint-pleasing steps and receding-horizon recovery is
+            # procrastinated forever (dummy-sim base sagged ~1-4 cm/s).
+            ok = merits < merit0
+            best = jnp.argmin(merits)
+            pick = jnp.where(jnp.any(ok), jnp.argmax(ok), best)
+            improved = (merits[pick] < merit0).astype(merits.dtype)
+            alpha = alphas[pick] * improved  # alpha = 0 -> keep current traj
 
         new_traj = Trajectory(xs=traj.xs + alpha * dxs, us=traj.us + alpha * dus)
 
@@ -220,7 +257,7 @@ def make_staged_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig):
     if cfg.equality_handling != "projection":
         raise ValueError("staged solver only implements the projection path")
 
-    lq_approx, total_cost, defects_fn, eq_fn = make_lq_functions(
+    lq_approx, total_cost, defects_fn, eq_fn, cost_violation = make_lq_functions(
         ocp, flow, cfg.dt, cfg.n_nodes, bp, sensitivity=cfg.sensitivity)
     alphas = jnp.asarray(cfg.alphas)
     rho_lq = cfg.rho if cfg.equality_handling == "al" else min(cfg.rho, 1.0)
@@ -243,24 +280,27 @@ def make_staged_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig):
 
     @jax.jit
     def f_linesearch(traj, times, params, lam, dxs, dus):
-        def merit(tr):
-            c, gmax = total_cost(tr, times, params, lam, cfg.rho)
+        # ocs2 FilterLinesearch, same rule as the fused solver
+        def perf(tr):
+            c, g_sse, _ = cost_violation(tr, times, params)
             d = defects_fn(tr, times)
-            return c + cfg.defect_weight * jnp.sum(jnp.abs(d)), gmax
+            return c, jnp.sqrt(g_sse + jnp.sum(d**2))
 
-        m0, _ = merit(traj)
+        c0, v0 = perf(traj)
 
         def try_alpha(a):
             cand = Trajectory(xs=traj.xs + a * dxs, us=traj.us + a * dus)
-            m, _ = merit(cand)
-            return m
+            return perf(cand)
 
-        merits = jax.vmap(try_alpha)(alphas)
-        merits = jnp.where(jnp.isfinite(merits), merits, jnp.inf)
-        # largest improving step (see make_sqp_solver for why not argmin)
-        ok = merits < m0
-        pick = jnp.where(jnp.any(ok), jnp.argmax(ok), jnp.argmin(merits))
-        alpha = alphas[pick] * (merits[pick] < m0).astype(merits.dtype)
+        cs, vs = jax.vmap(try_alpha)(alphas)
+        finite = jnp.isfinite(cs) & jnp.isfinite(vs)
+        ok = jnp.where(
+            v0 > cfg.filter_g_max,
+            vs < (1.0 - 1e-6) * v0,
+            jnp.where(vs < cfg.filter_g_min, cs < c0,
+                      (cs < c0) | (vs < (1.0 - 1e-6) * v0)),
+        ) & finite
+        alpha = alphas[jnp.argmax(ok)] * jnp.any(ok).astype(alphas.dtype)
         new_traj = Trajectory(xs=traj.xs + alpha * dxs, us=traj.us + alpha * dus)
         g = eq_fn(new_traj, times, params)
         return new_traj, alpha, jnp.max(jnp.abs(g))

@@ -272,6 +272,22 @@ def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams,
                                    jax.tree.map(lambda a: a[-1], params))
         return jnp.sum(costs) + 0.5 * jnp.sum(rT**2), jnp.max(gmax)
 
+    def cost_and_violation(traj: Trajectory, times, params):
+        """(pure cost incl. barriers, SSE of equality residuals, max |g|) —
+        the ocs2 PerformanceIndex pieces consumed by the filter line search."""
+        def one(t, x, u, p):
+            terms = ocp.node_terms(t, x, u, p)
+            c = node_cost_terms(terms, bp, jnp.zeros_like(terms.g), 1e-12)
+            return c, jnp.sum(terms.g**2), jnp.max(jnp.abs(terms.g))
+
+        stage_params = jax.tree.map(lambda a: a[:-1], params)
+        costs, g_sse, gmax = jax.vmap(one)(times[:-1], traj.xs[:-1], traj.us,
+                                           stage_params)
+        rT = ocp.terminal_residual(times[-1], traj.xs[-1],
+                                   jax.tree.map(lambda a: a[-1], params))
+        return (jnp.sum(costs) + 0.5 * jnp.sum(rT**2), jnp.sum(g_sse),
+                jnp.max(gmax))
+
     def defects(traj: Trajectory, times):
         x_next = jax.vmap(lambda t, x, u: rk4_step(flow, t, x, u, dt))(
             times[:-1], traj.xs[:-1], traj.us)
@@ -282,4 +298,4 @@ def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams,
         return jax.vmap(lambda t, x, u, p: ocp.node_terms(t, x, u, p).g)(
             times[:-1], traj.xs[:-1], traj.us, stage_params)
 
-    return lq_approximation, total_cost, defects, eq_residuals
+    return lq_approximation, total_cost, defects, eq_residuals, cost_and_violation

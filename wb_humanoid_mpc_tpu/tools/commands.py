@@ -43,6 +43,7 @@ class CommandBus:
         self._lock = threading.Lock()
         self._velocity = WalkingVelocityCommand()
         self._gait_request: str | None = None
+        self._pose_request: np.ndarray | None = None
 
     def set_velocity(self, cmd: WalkingVelocityCommand) -> None:
         with self._lock:
@@ -60,6 +61,27 @@ class CommandBus:
         with self._lock:
             g, self._gait_request = self._gait_request, None
             return g
+
+    def request_pose(self, delta: np.ndarray) -> None:
+        """[dx, dy, dz, dyaw_deg] base-frame pose delta (reference keyboard
+        pose command node, `CentroidalMpcKeyboardPoseCommandNode.cpp:68-86`)."""
+        with self._lock:
+            self._pose_request = np.asarray(delta, dtype=float).copy()
+
+    def pop_pose_request(self) -> np.ndarray | None:
+        with self._lock:
+            p, self._pose_request = self._pose_request, None
+            return p
+
+    def drain_into(self, motion_manager) -> None:
+        """Forward queued gait/pose requests to a MotionManager (call once
+        per solve from the control loop)."""
+        g = self.pop_gait_request()
+        if g is not None:
+            motion_manager.request_gait(g)
+        p = self.pop_pose_request()
+        if p is not None:
+            motion_manager.set_pose_command(p)
 
 
 class KeyboardCommandSource:
@@ -85,6 +107,9 @@ class KeyboardCommandSource:
                 v.angular_velocity_z))
         elif parts[0] == "gait" and len(parts) >= 2:
             self.bus.request_gait(parts[1])
+        elif parts[0] == "pose" and len(parts) >= 5:
+            # pose dx dy dz dyaw_deg (reference pose command node semantics)
+            self.bus.request_pose(np.array([float(p) for p in parts[1:5]]))
         elif parts[0] == "stop":
             self.bus.set_velocity(WalkingVelocityCommand())
 

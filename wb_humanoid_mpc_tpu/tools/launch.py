@@ -62,10 +62,25 @@ def cmd_dummy_sim(args):
     cmd = np.array([args.vx, args.vy, args.height, args.wz])
     print(f"[dummy-sim] {args.formulation} MPC, N={mpc.n_nodes}, dt={mpc.dt}; "
           f"command={cmd}")
+    if args.interactive:
+        # operator plane: stdin commands `vel vx vy wz`, `gait trot`,
+        # `pose dx dy dz dyaw`, `height h`, `stop` (reference keyboard
+        # publishers + pose command node)
+        from wb_humanoid_mpc_tpu.tools.commands import CommandBus, KeyboardCommandSource
+
+        bus = CommandBus()
+        KeyboardCommandSource(bus).start()
+
+        def command_fn(t):
+            bus.drain_into(mpc.motion_manager)
+            return bus.get_velocity()
+    else:
+        def command_fn(t):
+            return cmd if t > 0.2 else np.zeros(4)
     log = run_dummy_sim(
         mpc.runtime, mpc.initial_state, duration=args.duration,
         mrt_frequency=args.mrt_freq, mpc_frequency=args.mpc_freq,
-        command_fn=lambda t: cmd if t > 0.2 else np.zeros(4),
+        command_fn=command_fn,
         flow=mpc.model.flow_map)
 
     pub = BenchmarksPublisher()
@@ -111,7 +126,8 @@ def cmd_mujoco_sim(args):
     log = run_mujoco_closed_loop(
         mpc, controller, sim, duration=args.duration,
         mrt_frequency=args.mrt_freq, mpc_frequency=args.mpc_freq,
-        command_fn=lambda t: cmd if t > 0.5 else np.zeros(4))
+        command_fn=lambda t: cmd if t > 0.5 else np.zeros(4),
+        solve_latency=args.solve_latency)
     print(f"[mujoco-sim] resets={log.n_resets}, "
           f"final base: {log.base_positions[-1]}, "
           f"height range [{log.base_heights.min():.3f}, {log.base_heights.max():.3f}]")
@@ -153,6 +169,11 @@ def main(argv=None):
     p.add_argument("--rounds", type=int, default=10)
     p.add_argument("--log-csv", default=None)
     p.add_argument("--plot", default=None)
+    p.add_argument("--interactive", action="store_true",
+                   help="read vel/gait/pose commands from stdin while running")
+    p.add_argument("--solve-latency", type=float, default=0.0,
+                   help="async MRT: policies activate this many sim-seconds "
+                        "after their observation (mujoco-sim only)")
     args = p.parse_args(argv)
 
     {"dummy-sim": cmd_dummy_sim,
