@@ -97,7 +97,11 @@ def test_horizon_sharded_wb_projected_lq():
     lq = lq_approx(traj, times, params, lam, 1.0)
     reduced, proj = project_lq(lq, lq.Cx, lq.Du, lq.g_res, 1e-8)
 
-    reg = 1e-2
+    # production semantics: the Levenberg trust region is folded into the
+    # stage data (one damped QP), the passes use only numerical jitter
+    from wb_humanoid_mpc_tpu.solver.riccati import levenberg_damp
+    reduced = levenberg_damp(reduced, 1e-2)
+    reg = 1e-8
     sol = backward_pass(reduced, reg)
     dxs_ref, dus_ref = forward_pass(reduced, sol, jnp.zeros_like(x0))
 

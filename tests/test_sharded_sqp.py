@@ -75,12 +75,16 @@ def test_sharded_sqp_matches_vmapped():
     sol_sh = solve_sh(0.0, x0s, init, params, lam)
 
     assert np.isfinite(np.asarray(sol_sh.cost)).all()
+    # tolerance: the two paths solve the SAME damped QP but with different
+    # float summation orders (sequential scan vs two-level associative scan)
+    # and reg_num placement; observed agreement ~4e-7 abs / ~1e-3 rel on the
+    # smallest elements. The driver gate asserts 1e-4 abs in f32.
     np.testing.assert_allclose(np.asarray(sol_sh.traj.xs),
                                np.asarray(sol_ref.traj.xs),
-                               rtol=1e-6, atol=1e-7)
+                               rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(sol_sh.traj.us),
                                np.asarray(sol_ref.traj.us),
-                               rtol=1e-6, atol=5e-6)
+                               rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(sol_sh.step_size),
                                np.asarray(sol_ref.step_size))
     # the walk schedule must actually exercise swing nodes

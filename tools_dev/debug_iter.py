@@ -1,5 +1,4 @@
-"""Decompose SQP steps on the WB stance problem: per-block step magnitudes,
-model-vs-actual merit at alpha=1, long-run convergence."""
+"""Per-iteration SQP diagnostics on the WB stance problem."""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -23,10 +22,8 @@ from wb_humanoid_mpc_tpu.solver.projection import project_lq, recover_controls
 from wb_humanoid_mpc_tpu.solver.riccati import backward_pass, forward_pass
 from wb_humanoid_mpc_tpu.models import kinematics as kin
 
-reg = float(sys.argv[1]) if len(sys.argv) > 1 else 1e-6
-niter = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-
 N = 10
+mode = sys.argv[1] if len(sys.argv) > 1 else "exact"
 cfg, robot, model = wb_setup()
 ocp = WholeBodyOcp(model=model, cfg=cfg)
 x0 = jnp.asarray(cfg.initial_state, dtype=jnp.float64)
@@ -42,14 +39,13 @@ u0 = weight_comp_input(robot.total_mass, robot.gravity, jnp.ones(2), model.layou
 traj = Trajectory(xs=jnp.tile(x0, (N + 1, 1)), us=jnp.tile(u0, (N, 1)))
 lam = jnp.zeros((N, ocp.n_eq))
 
-scfg = SqpSolverConfig(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=1, reg=reg)
+scfg = SqpSolverConfig(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=1, reg=1e-6, sensitivity=mode)
 bp = ocp.barrier_params()
-lq_approx, total_cost, defects_fn, eq_fn = make_lq_functions(
-    ocp, model.flow_map, scfg.dt, N, bp, sensitivity="exact")
+lq_approx, total_cost, defects_fn, eq_fn, _cv = make_lq_functions(
+    ocp, model.flow_map, scfg.dt, N, bp, sensitivity=mode)
 
 times = 0.0 + scfg.dt * jnp.arange(N + 1)
 rho_lq = min(scfg.rho, 1.0)
-ALPHAS = jnp.asarray((1.0, 0.7, 0.5, 0.3, 0.2, 0.1, 0.05, 0.01))
 
 
 @jax.jit
@@ -60,43 +56,39 @@ def one_step(traj, lam):
     sol = backward_pass(reduced, scfg.reg)
     dxs, dzs = forward_pass(reduced, sol, dx0)
     dus = recover_controls(proj, dxs, dzs)
+    # linearized equality residual at full step
+    g_lin = (lq.g_res + jnp.einsum("kij,kj->ki", lq.Cx, dxs[:-1])
+             + jnp.einsum("kij,kj->ki", lq.Du, dus))
+    return lq, dxs, dus, g_lin
 
-    def merit_parts(tr):
-        c, gmax = total_cost(tr, times, params, lam, scfg.rho)
-        c_pure, _ = total_cost(tr, times, params, lam * 0.0, 1e-12)
-        d = defects_fn(tr, times)
-        dterm = scfg.defect_weight * jnp.sum(jnp.abs(d))
-        return c + dterm, c_pure, c - c_pure, dterm, gmax, jnp.max(jnp.abs(d))
 
-    m0 = merit_parts(traj)
+@jax.jit
+def merit_of(traj, lam):
+    c, gmax = total_cost(traj, times, params, lam, scfg.rho)
+    d = defects_fn(traj, times)
+    return c + scfg.defect_weight * jnp.sum(jnp.abs(d)), gmax, jnp.max(jnp.abs(d))
 
-    def try_alpha(a):
+
+fc = cfg.model_settings.foot_constraint
+print("foot_constraint gains:", fc, flush=True)
+g_init = np.array(eq_fn(traj, times, params))
+print(f"g(init) per-row max over nodes: {np.abs(g_init).max(axis=0)}", flush=True)
+
+t0 = time.time()
+for it in range(8):
+    lq, dxs, dus, g_lin = one_step(traj, lam)
+    m0, g0, d0 = merit_of(traj, lam)
+    row = f"it{it}: cost={float(lq.cost):9.3f} g={float(lq.g_norm):.3e} d={float(lq.defect_norm):.3e} |g_lin|={float(jnp.max(jnp.abs(g_lin))):.2e} |dx|={float(jnp.max(jnp.abs(dxs))):.2e} |du|={float(jnp.max(jnp.abs(dus))):.2e}"
+    # line search trace
+    best = None
+    for a in (1.0, 0.7, 0.5, 0.3, 0.2, 0.1, 0.05, 0.01):
         cand = Trajectory(xs=traj.xs + a * dxs, us=traj.us + a * dus)
-        return merit_parts(cand)
-
-    parts = jax.vmap(try_alpha)(ALPHAS)
-    merits = jnp.where(jnp.isfinite(parts[0]), parts[0], jnp.inf)
-    best = jnp.argmin(merits)
-    alpha = jnp.where(merits[best] < m0[0], ALPHAS[best], 0.0)
-    new = Trajectory(xs=traj.xs + alpha * dxs, us=traj.us + alpha * dus)
-    return new, m0, parts, alpha, dxs, dus
-
-
-nj = model.layout.n_joints
-for it in range(niter):
-    traj, m0, parts, alpha, dxs, dus = one_step(traj, lam)
-    dxs, dus = np.array(dxs), np.array(dus)
-    blocks = dict(
-        d_qb=np.abs(dxs[:, 0:6]).max(), d_qj=np.abs(dxs[:, 6:6+nj]).max(),
-        d_vb=np.abs(dxs[:, 6+nj:12+nj]).max(), d_vj=np.abs(dxs[:, 12+nj:]).max(),
-        d_W=np.abs(dus[:, :12]).max(), d_qdd=np.abs(dus[:, 12:]).max(),
-    )
-    ai = int(np.argmin(np.where(np.isfinite(np.array(parts[0])), np.array(parts[0]), np.inf)))
-    m1 = [float(p[ai]) for p in parts]
-    a1 = [float(p[0]) for p in parts]  # merit at alpha=1 etc
-    full = [float(p[0]) for p in parts]
-    print(f"it{it}: a={float(alpha):4} merit {float(m0[0]):10.2f}->{m1[0]:10.2f} "
-          f"[cost {float(m0[1]):8.2f}->{m1[1]:8.2f} pen {float(m0[2]):9.2f}->{m1[2]:9.2f} "
-          f"dft {float(m0[3]):7.2f}->{m1[3]:7.2f}] g={m1[4]:.2e} "
-          f"| a1: merit={full[0]:10.2f} pen={float(parts[2][0]):9.2f} "
-          f"| steps {', '.join(f'{k}={v:.2f}' for k, v in blocks.items())}", flush=True)
+        m, g, d = merit_of(cand, lam)
+        row += f"\n    a={a:4}: merit={float(m):12.4f} (m0={float(m0):12.4f}) g={float(g):.3e} d={float(d):.3e}"
+        if best is None and np.isfinite(float(m)) and float(m) < float(m0):
+            best = a
+    a = best if best is not None else 0.0
+    print(row + f"\n  -> alpha={a}", flush=True)
+    if a:
+        traj = Trajectory(xs=traj.xs + a * dxs, us=traj.us + a * dus)
+print(f"total {time.time()-t0:.1f}s")

@@ -91,8 +91,12 @@ class MrtPipeline:
         self._obs_buf.write(buf)
 
     def get_policy(self) -> Policy | None:
-        """Latest policy, or None before the first solve (controller falls
-        back to weight compensation). Never blocks."""
+        """Latest policy, or None before the first solve OR after a solver
+        failure (the controller maps None to the weight-compensating fallback,
+        reference `CentroidalMpcMrtJointController.cpp:170-196`). Never
+        blocks."""
+        if self.failed:
+            return None
         _, pol = self._codec.unpack(self._pol_buf.read())
         return pol
 
@@ -135,6 +139,33 @@ class MrtPipeline:
         if self._thread is not None:
             self._thread.join(timeout=30.0)
             self._thread = None
+
+
+class PolicyObserver:
+    """Read-only policy subscriber (the reference's `MRTPolicySubscriber`,
+    `humanoid_common_mpc_ros2/include/.../ros_comm/MRTPolicySubscriber.h:41-90`:
+    an `MRT_BASE` that only subscribes to the policy topic so external
+    consumers — loggers, visualizers, external estimators — can follow the
+    solver output without being able to push observations).
+
+    Attaches to an `MrtPipeline`'s policy seqlock buffer; reads never block
+    and never interfere with the control loop.
+    """
+
+    def __init__(self, pipeline: MrtPipeline):
+        self._buf = pipeline._pol_buf
+        self._codec = pipeline._codec
+
+    def get_policy(self) -> Policy | None:
+        """Latest policy, or None before the first solve."""
+        _, pol = self._codec.unpack(self._buf.read())
+        return pol
+
+    def evaluate(self, t: float):
+        """(x*, u*, contact) at time t, or None before the first policy —
+        `MRT_BASE::evaluatePolicy` for observers."""
+        pol = self.get_policy()
+        return None if pol is None else pol.evaluate(t)
 
 
 class SimulatedLatencyMpc:

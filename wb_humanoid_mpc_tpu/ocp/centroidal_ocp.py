@@ -13,8 +13,9 @@ Terms reproduced from the reference assembly
   - per-leg external torque cost, scaled by (1 - other-foot proximity)
     (`ExternalTorqueQuadraticCostAD.cpp:110-136`)
   - joint-limit soft constraint (piecewise barrier, `JointLimitsSoftConstraint.cpp:57-88`)
-  - foot collision soft constraint, 8 sphere-pair distances, active only when
-    not double-stance (`FootCollisionConstraint.cpp:80-135`)
+  - foot/knee/ankle collision soft constraint, all 16 reference sphere-pair
+    distances (9 foot-foot, 1 knee-knee, 6 foot-ankle), active only when
+    not double-stance (`FootCollisionConstraint.cpp:80-146`)
   - per-foot friction cone (analytic, regularized;
     `FrictionForceConeConstraint.cpp:173-180`) and CoP-rectangle moment rows
     (`ContactMomentXYConstraintCppAd.cpp:85-103`) as relaxed-log-barrier rows
@@ -85,29 +86,33 @@ class CentroidalOcp:
         # 2 feet x (6 stance-twist/zero-wrench + 1 swing normal vel) + mimic rows
         return 14 + len(self.cfg.mimic_joints)
 
-    # The reference's collision barrier mu (30000/1500) applied to -mu*ln(h)
-    # at the natural inter-foot clearance (h ~ 0.07-0.1 m) yields ~1e5-scale
-    # gradients that dominate the whole OCP whenever single support makes the
-    # term active (verified experimentally: it destroys the walk solve). The
-    # barrier is rescaled so it acts as a *proximity* barrier: negligible at
-    # nominal clearance, steep inside the delta boundary layer.
-    COLLISION_MU_SCALE = 1e-3
-
     def barrier_params(self) -> BarrierParams:
+        # Penalty families per the reference factory: cone + contact-moment use
+        # the relaxed LOG barrier (`HumanoidCostConstraintFactory.cpp:156-211`,
+        # RelaxedBarrierPenalty); collision and joint limits use the one-sided
+        # piecewise-polynomial HINGE (`:99-149`, PieceWisePolynomialBarrierPenalty
+        # — zero value/gradient outside the delta boundary layer). Rounds 1-3
+        # wrongly ran collision through the log barrier, whose -mu*ln(h)
+        # gradient at nominal clearance (h ~ 0.1, mu 30000) dominated the OCP
+        # and needed an unvalidated 1e-3 mu rescale; the hinge needs no hack.
         c = self.cfg
         log_mu = np.concatenate([
             np.full(2, c.contacts.friction_cone_barrier.mu),
             np.full(8, c.contacts.contact_moment_barrier.mu),
-            np.full(8, c.collision.barrier.mu * self.COLLISION_MU_SCALE),
         ])
         log_delta = np.concatenate([
             np.full(2, c.contacts.friction_cone_barrier.delta),
             np.full(8, c.contacts.contact_moment_barrier.delta),
-            np.full(8, c.collision.barrier.delta),
         ])
         n_j = self.model.layout.n_joints
-        quad_mu = np.full(2 * n_j, c.joint_limits_barrier.mu)
-        quad_delta = np.full(2 * n_j, c.joint_limits_barrier.delta)
+        quad_mu = np.concatenate([
+            np.full(2 * n_j, c.joint_limits_barrier.mu),
+            np.full(16, c.collision.barrier.mu),
+        ])
+        quad_delta = np.concatenate([
+            np.full(2 * n_j, c.joint_limits_barrier.delta),
+            np.full(16, c.collision.barrier.delta),
+        ])
         return BarrierParams(jnp.asarray(log_mu), jnp.asarray(log_delta),
                              jnp.asarray(quad_mu), jnp.asarray(quad_delta))
 
@@ -209,7 +214,21 @@ class CentroidalOcp:
             h_rows.append(masked_barrier_value(rows, p.contact[i]))
             h_masks.append(jnp.broadcast_to(p.contact[i], (4,)))
 
-        # foot collision (state-only) — 8 sphere-pair distances
+        h_log = jnp.concatenate(h_rows)
+        h_log_mask = jnp.concatenate(h_masks)
+
+        # ---------- hinge-barrier rows (joint limits + collision) ----------
+        qj = lay.joint_angles(x)
+        ub = jnp.asarray(robot.joint_upper)
+        lb = jnp.asarray(robot.joint_lower)
+
+        # foot/knee/ankle collision (state-only) — all 16 reference sphere
+        # pairs in the reference's row order (`FootCollisionConstraint.cpp:
+        # 122-141`: 9 foot-foot rows, 1 knee-knee row with the knee radius,
+        # 6 foot-ankle rows); inactive in double support (`:81-86`); hinge
+        # penalty per the reference factory (`HumanoidCostConstraintFactory
+        # .cpp:99-116`) — masked rows park at 1.0 >> delta so value and
+        # derivatives are exactly zero
         col_active = 1.0 - p.contact[0] * p.contact[1]
         cl, cr = model.contact_frames
         def fpos(name):
@@ -217,19 +236,23 @@ class CentroidalOcp:
         l_c, r_c = foot_kin[0][1], foot_kin[1][1]
         l1, l2 = fpos(f"{cl}_collision_p_1"), fpos(f"{cl}_collision_p_2")
         r1, r2 = fpos(f"{cr}_collision_p_1"), fpos(f"{cr}_collision_p_2")
+        ankle_l, ankle_r = fpos(c.collision.left_ankle_frame), fpos(c.collision.right_ankle_frame)
+        knee_l, knee_r = fpos(c.collision.left_knee_frame), fpos(c.collision.right_knee_frame)
         min_foot = 2.0 * c.collision.foot_radius
-        pairs = [(l1, r1), (l1, r2), (l2, r1), (l2, r2), (l_c, r1), (l_c, r2), (r_c, l1), (r_c, l2)]
-        dists = jnp.stack([jnp.sqrt(jnp.sum((a - b) ** 2) + 1e-12) - min_foot for a, b in pairs])
-        h_rows.append(masked_barrier_value(dists, col_active))
-        h_masks.append(jnp.broadcast_to(col_active, (8,)))
-        h_log = jnp.concatenate(h_rows)
-        h_log_mask = jnp.concatenate(h_masks)
+        min_knee = 2.0 * c.collision.knee_radius
+        pairs = [
+            (l1, r1), (l1, r2), (l2, r1), (l2, r2),            # rows 0-3
+            (l_c, r1), (l_c, r2), (r_c, l1), (r_c, l2),        # rows 4-7
+            (l_c, r_c),                                        # row 8
+            (knee_l, knee_r),                                  # row 9 (knee)
+            (l_c, ankle_r), (l1, ankle_r), (l2, ankle_r),      # rows 10-12
+            (r_c, ankle_l), (r1, ankle_l), (r2, ankle_l),      # rows 13-15
+        ]
+        min_d = jnp.asarray([min_foot] * 9 + [min_knee] + [min_foot] * 6)
+        dists = jnp.stack([jnp.sqrt(jnp.sum((a - b) ** 2) + 1e-12) for a, b in pairs]) - min_d
+        coll_rows = masked_barrier_value(dists, col_active, safe_value=1.0)
 
-        # ---------- quadratic-barrier rows (joint limits) ----------
-        qj = lay.joint_angles(x)
-        ub = jnp.asarray(robot.joint_upper)
-        lb = jnp.asarray(robot.joint_lower)
-        h_quad = jnp.concatenate([ub - qj, qj - lb])
+        h_quad = jnp.concatenate([ub - qj, qj - lb, coll_rows])
 
         # ---------- equality constraints ----------
         fc = c.model_settings.foot_constraint

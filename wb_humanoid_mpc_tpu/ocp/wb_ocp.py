@@ -62,29 +62,28 @@ class WholeBodyOcp:
     def n_eq(self) -> int:
         return 14 + len(self.cfg.mimic_joints)
 
-    # The reference's collision barrier mu (30000/1500) applied to -mu*ln(h)
-    # at the natural inter-foot clearance (h ~ 0.07-0.1 m) yields ~1e5-scale
-    # gradients that dominate the whole OCP whenever single support makes the
-    # term active (verified experimentally: it destroys the walk solve). The
-    # barrier is rescaled so it acts as a *proximity* barrier: negligible at
-    # nominal clearance, steep inside the delta boundary layer.
-    COLLISION_MU_SCALE = 1e-3
-
     def barrier_params(self) -> BarrierParams:
+        # Penalty families per the reference factory (see the centroidal OCP's
+        # barrier_params for the rationale): cone + moment -> relaxed log
+        # barrier; joint limits + collision -> one-sided hinge.
         c = self.cfg
         log_mu = np.concatenate([
             np.full(2, c.contacts.friction_cone_barrier.mu),
             np.full(8, c.contacts.contact_moment_barrier.mu),
-            np.full(8, c.collision.barrier.mu * self.COLLISION_MU_SCALE),
         ])
         log_delta = np.concatenate([
             np.full(2, c.contacts.friction_cone_barrier.delta),
             np.full(8, c.contacts.contact_moment_barrier.delta),
-            np.full(8, c.collision.barrier.delta),
         ])
         n_j = self.model.layout.n_joints
-        quad_mu = np.full(2 * n_j, c.joint_limits_barrier.mu)
-        quad_delta = np.full(2 * n_j, c.joint_limits_barrier.delta)
+        quad_mu = np.concatenate([
+            np.full(2 * n_j, c.joint_limits_barrier.mu),
+            np.full(16, c.collision.barrier.mu),
+        ])
+        quad_delta = np.concatenate([
+            np.full(2 * n_j, c.joint_limits_barrier.delta),
+            np.full(16, c.collision.barrier.delta),
+        ])
         return BarrierParams(jnp.asarray(log_mu), jnp.asarray(log_delta),
                              jnp.asarray(quad_mu), jnp.asarray(quad_delta))
 
@@ -181,6 +180,14 @@ class WholeBodyOcp:
             h_rows.append(masked_barrier_value(rows, p.contact[i]))
             h_masks.append(jnp.broadcast_to(p.contact[i], (4,)))
 
+        h_log = jnp.concatenate(h_rows)
+        h_log_mask = jnp.concatenate(h_masks)
+
+        # ---------- hinge-barrier rows (joint limits + collision) ----------
+        # all 16 reference sphere pairs, reference row order
+        # (`FootCollisionConstraint.cpp:122-141`; knee row uses the knee
+        # radius); hinge penalty per the reference factory, masked rows park
+        # at 1.0 >> delta (value and derivatives exactly zero)
         col_active = 1.0 - p.contact[0] * p.contact[1]
         cl, cr = model.contact_frames
 
@@ -190,21 +197,28 @@ class WholeBodyOcp:
         l_c, r_c = foot_kin[0][1], foot_kin[1][1]
         l1, l2 = fpos(f"{cl}_collision_p_1"), fpos(f"{cl}_collision_p_2")
         r1, r2 = fpos(f"{cr}_collision_p_1"), fpos(f"{cr}_collision_p_2")
+        ankle_l, ankle_r = fpos(c.collision.left_ankle_frame), fpos(c.collision.right_ankle_frame)
+        knee_l, knee_r = fpos(c.collision.left_knee_frame), fpos(c.collision.right_knee_frame)
         min_foot = 2.0 * c.collision.foot_radius
-        pairs = [(l1, r1), (l1, r2), (l2, r1), (l2, r2),
-                 (l_c, r1), (l_c, r2), (r_c, l1), (r_c, l2)]
-        dists = jnp.stack([jnp.sqrt(jnp.sum((a - b) ** 2) + 1e-12) - min_foot
-                           for a, b in pairs])
-        h_rows.append(masked_barrier_value(dists, col_active))
-        h_masks.append(jnp.broadcast_to(col_active, (8,)))
-        h_log = jnp.concatenate(h_rows)
-        h_log_mask = jnp.concatenate(h_masks)
+        min_knee = 2.0 * c.collision.knee_radius
+        pairs = [
+            (l1, r1), (l1, r2), (l2, r1), (l2, r2),
+            (l_c, r1), (l_c, r2), (r_c, l1), (r_c, l2),
+            (l_c, r_c),
+            (knee_l, knee_r),
+            (l_c, ankle_r), (l1, ankle_r), (l2, ankle_r),
+            (r_c, ankle_l), (r1, ankle_l), (r2, ankle_l),
+        ]
+        min_d = jnp.asarray([min_foot] * 9 + [min_knee] + [min_foot] * 6)
+        dists = jnp.stack([jnp.sqrt(jnp.sum((a - b) ** 2) + 1e-12)
+                           for a, b in pairs]) - min_d
+        coll_rows = masked_barrier_value(dists, col_active, safe_value=1.0)
 
-        # ---------- quadratic-barrier rows (joint limits) ----------
         qj = lay.joint_angles(x)
         h_quad = jnp.concatenate([
             jnp.asarray(robot.joint_upper) - qj,
             qj - jnp.asarray(robot.joint_lower),
+            coll_rows,
         ])
 
         # ---------- equality constraints ----------

@@ -170,8 +170,7 @@ def horizon_sharded_lq_solve(lq: LQApprox, dx0: jnp.ndarray, mesh: Mesh,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(spec_e,) + (P(axis),) * 9 + (P(),),
-        out_specs=(P(axis), P(axis)),
-        check_vma=False)
+        out_specs=(P(axis), P(axis)))
     def solve_block(e, A, B, d, Qxx, Quu, Qux, qx, qu, node_idx, dx0_):
         Kg, kg = block_backward_gains(e, A, B, d, Qxx, Quu, Qux, qx, qu,
                                       axis, reg)

@@ -5,15 +5,20 @@ The headless equivalent of the reference's `CentroidalMpcRobotSim` /
 physics at 2 kHz, MRT control loop at `mrt_frequency`, MPC solves at
 `mpc_frequency`, PD+ff torques in between.
 
-Two pacing modes:
+Three pacing modes:
 - synchronous (default): solves interleave with control ticks — deterministic,
   solver latency not charged to the timeline;
 - `solve_latency > 0`: async MRT semantics via
   `mpc.async_runtime.SimulatedLatencyMpc` — a solve dispatched at sim time t
   activates at t + solve_latency, so control ticks continue on stale policies
   exactly as with the reference's solver thread (`CentroidalMpcMrtJointController
-  .cpp:235-260`), reproducibly. The wall-clock threaded pipeline
-  (`mpc.async_runtime.MrtPipeline`) is used by the launch CLI.
+  .cpp:235-260`), reproducibly;
+- `use_pipeline=True`: the real threaded pipeline
+  (`mpc.async_runtime.MrtPipeline`) — a solver thread consumes observations
+  and publishes policies through seqlock buffers while the control loop steps
+  the sim, exactly the reference's solverWorker/control-thread split (wall
+  clock, nondeterministic staleness). Selected by `tools/launch.py mujoco-sim
+  --pipeline`.
 """
 
 from __future__ import annotations
@@ -52,6 +57,7 @@ def run_mujoco_closed_loop(
                                   # active solve_latency sim-seconds after its
                                   # observation (mpc/async_runtime.py), so the
                                   # solver never stalls control ticks
+    use_pipeline: bool = False,   # real solver thread via MrtPipeline
 ) -> ClosedLoopLog:
     model = mpc_interface.model
     runtime = mpc_interface.runtime
@@ -80,7 +86,13 @@ def run_mujoco_closed_loop(
     n_steps = int(round(duration * mrt_frequency))
 
     async_mpc = None
-    if solve_latency > 0.0:
+    pipeline = None
+    if use_pipeline:
+        from wb_humanoid_mpc_tpu.mpc.async_runtime import MrtPipeline
+
+        pipeline = MrtPipeline(runtime, nx=lay.state_dim)
+        pipeline.start()
+    elif solve_latency > 0.0:
         from wb_humanoid_mpc_tpu.mpc.async_runtime import SimulatedLatencyMpc
 
         async_mpc = SimulatedLatencyMpc(runtime, mpc_frequency, solve_latency)
@@ -88,13 +100,20 @@ def run_mujoco_closed_loop(
     times, base_pos, heights, qjs = [], [], [], []
     stats = []
 
-    for step in range(n_steps):
+    try:
+      for step in range(n_steps):
         rs = sim.get_state()
         t = rs.time
         x_obs = observe(rs)
 
         cmd = np.zeros(4) if command_fn is None else np.asarray(command_fn(t))
-        if async_mpc is not None:
+        if pipeline is not None:
+            pipeline.push_observation(t, x_obs, cmd)
+            policy = pipeline.get_policy()
+            if pipeline.last_stats is not None and (
+                    not stats or stats[-1] is not pipeline.last_stats):
+                stats.append(pipeline.last_stats)
+        elif async_mpc is not None:
             policy = async_mpc.tick(t, x_obs, cmd)
             stats = async_mpc.stats
         else:
@@ -124,6 +143,9 @@ def run_mujoco_closed_loop(
         base_pos.append(rs.base_position.copy())
         heights.append(rs.base_position[2])
         qjs.append(rs.joint_positions.copy())
+    finally:
+        if pipeline is not None:
+            pipeline.stop()
 
     return ClosedLoopLog(
         times=np.asarray(times),

@@ -24,6 +24,19 @@ import jax.numpy as jnp
 from wb_humanoid_mpc_tpu.solver.transcription import LQApprox
 
 
+def levenberg_damp(lq: LQApprox, reg: float) -> LQApprox:
+    """Fold relative Levenberg trust-region damping into the stage data:
+    Quu_k += reg * max(max(diag(Quu_k)), 1) * I. Applied once, before any
+    Riccati variant, so the sequential scan, the associative-scan pass and
+    the horizon-sharded pass all solve the SAME damped QP (see
+    `SqpSolverConfig.reg`)."""
+    nu = lq.Quu.shape[-1]
+    diag = jnp.diagonal(lq.Quu, axis1=-2, axis2=-1)
+    scale = jnp.maximum(jnp.max(diag, axis=-1), 1.0)
+    eyeu = jnp.eye(nu, dtype=lq.Quu.dtype)
+    return lq._replace(Quu=lq.Quu + (reg * scale)[..., None, None] * eyeu)
+
+
 class RiccatiSolution(NamedTuple):
     K: jnp.ndarray   # [N, nu, nx]
     k: jnp.ndarray   # [N, nu]

@@ -29,6 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from wb_humanoid_mpc_tpu.ocp.base import BarrierParams
+from wb_humanoid_mpc_tpu.solver.linesearch import filter_accept
 from wb_humanoid_mpc_tpu.parallel.horizon import (
     _identity_elem,
     block_backward_gains,
@@ -137,9 +138,18 @@ def make_sharded_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig,
              Lp, Zp, wp) = jax.vmap(jax.vmap(proj_one))(
                 A, B, d, Qxx, Quu, Qux, qx, qu, Cx, Du, g)
 
+            # Levenberg trust-region damping folded into the stage data —
+            # the SAME damped QP the unsharded solver defines via
+            # `levenberg_damp` (solver/riccati.py); keep in lockstep.
+            nzu = Quu_r.shape[-1]
+            scale = jnp.maximum(
+                jnp.max(jnp.diagonal(Quu_r, axis1=-2, axis2=-1), axis=-1), 1.0)
+            Quu_r = Quu_r + (cfg.reg * scale)[..., None, None] \
+                * jnp.eye(nzu, dtype=dtype)
+
             # ---- scan elements: stage leaf / terminal / identity ----
             leaf = jax.vmap(jax.vmap(
-                lambda *a: stage_leaf(*a, cfg.reg)))(
+                lambda *a: stage_leaf(*a, cfg.reg_num)))(
                 A_r, B_r, d_r, Qxx_r, Quu_r, Qux_r, qx_r, qu_r)
             QN_rows, qN_rows, _ = jax.vmap(jax.vmap(
                 lambda x_, p_: term_quad(t_term, x_, p_)))(xs, params)
@@ -160,7 +170,8 @@ def make_sharded_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig,
 
             # ---- distributed backward + forward ----
             Kg, kg = jax.vmap(
-                lambda e, *s: block_backward_gains(e, *s, horizon_axis, cfg.reg)
+                lambda e, *s: block_backward_gains(e, *s, horizon_axis,
+                                                   cfg.reg_num)
             )(elems, A_r, B_r, d_r, Qxx_r, Quu_r, Qux_r, qx_r, qu_r)
 
             F = A_r + jnp.einsum("bkij,bkjl->bkil", B_r, Kg)
@@ -187,13 +198,8 @@ def make_sharded_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig,
                 return c, v
 
             cs, vs = jax.vmap(try_alpha)(alphas)          # [n_alpha, B]
-            finite = jnp.isfinite(cs) & jnp.isfinite(vs)
-            ok = jnp.where(
-                v0[None] > cfg.filter_g_max,
-                vs < (1.0 - 1e-6) * v0[None],
-                jnp.where(vs < cfg.filter_g_min, cs < c0[None],
-                          (cs < c0[None]) | (vs < (1.0 - 1e-6) * v0[None])),
-            ) & finite
+            ok = filter_accept(c0[None], v0[None], cs, vs,
+                               cfg.filter_g_max, cfg.filter_g_min)
             pick = jnp.argmax(ok, axis=0)                 # [B]
             alpha = alphas[pick] * jnp.any(ok, axis=0).astype(dtype)  # [B]
             xs = xs + alpha[:, None, None] * dx_here
@@ -216,8 +222,7 @@ def make_sharded_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig,
         body, mesh=mesh,
         in_specs=(P(), spec_b, spec_bh, spec_bh, spec_bh, spec_bh,
                   P(horizon_axis)),
-        out_specs=(spec_bh, spec_bh, spec_b, spec_b, spec_b, spec_b),
-        check_vma=False)
+        out_specs=(spec_bh, spec_bh, spec_b, spec_b, spec_b, spec_b))
 
     def solve(t0, x0s, init_traj: Trajectory, params, lam):
         B = x0s.shape[0]

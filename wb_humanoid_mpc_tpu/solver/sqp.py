@@ -33,12 +33,17 @@ import jax
 import jax.numpy as jnp
 
 from wb_humanoid_mpc_tpu.ocp.base import BarrierParams
+from wb_humanoid_mpc_tpu.solver.linesearch import filter_accept
 from wb_humanoid_mpc_tpu.solver.priccati import (
     parallel_backward_pass,
     parallel_forward_pass,
 )
 from wb_humanoid_mpc_tpu.solver.projection import project_lq, recover_controls
-from wb_humanoid_mpc_tpu.solver.riccati import backward_pass, forward_pass
+from wb_humanoid_mpc_tpu.solver.riccati import (
+    backward_pass,
+    forward_pass,
+    levenberg_damp,
+)
 from wb_humanoid_mpc_tpu.solver.transcription import (
     LQApprox,
     Trajectory,
@@ -62,16 +67,24 @@ class SqpSolverConfig:
     dt: float
     sqp_iterations: int = 1
     rho: float = 1e3        # AL penalty parameter
-    # Relative Levenberg regularization on Quu. This is a trust-region knob,
-    # not a numerical-jitter knob: the G1 task files price contact wrenches at
-    # ~3e-6 (R scaling 1e-3, `g1_wb_mpc task.info` R block), so the QP sees a
-    # near-free internal-force null space whose |du| ~ 50 N proposals are only
-    # limited by this damping. Under-regularized (1e-6) the cross-curvature
-    # d2(foot acc)/du dx of those steps stalls the SQP at |g| ~ 5e-2;
-    # at 1e-2 full steps are accepted and stance converges to |g| ~ 5e-4 in
-    # 3 iterations (see round-3 reg sweep). The bias vanishes at convergence
-    # (Levenberg damps steps, not the fixed point).
+    # Relative Levenberg trust-region damping: Quu += reg * max(diag(Quu), 1)
+    # applied to the (projected) stage data BEFORE the Riccati solve — i.e.
+    # the damping is part of the QP definition, identical for the sequential
+    # scan, the associative-scan O(log N) pass, and the horizon-sharded
+    # distributed pass. (Round 3 instead damped Quu_h = Quu + B'PB inside
+    # each sequential Riccati step — a rule the associative scan cannot
+    # reproduce, because P is a scan output; the sharded and sequential
+    # solvers then solved materially different QPs at reg=1e-2 and the
+    # multichip equivalence gate failed. Pre-damping removes the ambiguity.)
+    # This is a trust-region knob, not a numerical-jitter knob: the G1 task
+    # files price contact wrenches at ~3e-6 (R scaling 1e-3, `g1_wb_mpc
+    # task.info` R block), so the QP sees a near-free internal-force null
+    # space whose |du| ~ 50 N proposals are only limited by this damping.
     reg: float = 1e-2
+    # numerical jitter inside the Riccati factorizations (relative, keeps the
+    # Cholesky PD); small enough that all solver variants agree to float
+    # tolerance
+    reg_num: float = 1e-8
     alphas: tuple = (1.0, 0.7, 0.5, 0.3, 0.2, 0.1, 0.05, 0.01)
     defect_weight: float = 1e2  # merit weight on shooting defects
     parallel_riccati: bool = False  # associative-scan O(log N) backward pass
@@ -84,11 +97,9 @@ class SqpSolverConfig:
                                 # | "midpoint" (A,B at the RK4 midpoint, O(h^3))
                                 # | "exact" (differentiate through all RK4 stages)
     # Line search. "filter" reproduces ocs2's FilterLinesearch (the reference
-    # solver's globalization; `multiple_shooting.{g_max,g_min}` in task.info):
-    #   violation v = sqrt(SSE(g) + SSE(defects));
-    #   v0 > g_max           -> accept only if v decreases,
-    #   g_min < v < g_max    -> accept if EITHER cost or violation decreases,
-    #   v < g_min            -> accept on cost decrease.
+    # solver's globalization; `multiple_shooting.{g_max,g_min}` in task.info) —
+    # acceptance rule in `solver/linesearch.py::filter_accept` (branches on
+    # the CANDIDATE violation, per ocs2).
     # The AL-merit search ("merit") rejects feasibility-restoring steps when
     # the tracking-cost increase outweighs the penalty decrease — observed to
     # equilibrate walking solves at |g| ~ 0.1 instead of converging.
@@ -130,19 +141,22 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
         dx0 = x0 - traj.xs[0]
         if cfg.equality_handling == "projection":
             reduced, proj = project_lq(lq, lq.Cx, lq.Du, lq.g_res, cfg.proj_eps)
+            reduced = levenberg_damp(reduced, cfg.reg)
             if cfg.parallel_riccati:
-                sol = parallel_backward_pass(reduced, cfg.reg)
+                sol = parallel_backward_pass(reduced, cfg.reg_num)
                 dxs, dzs = parallel_forward_pass(reduced, sol, dx0)
             else:
-                sol = backward_pass(reduced, cfg.reg)
+                sol = backward_pass(reduced, cfg.reg_num)
                 dxs, dzs = forward_pass(reduced, sol, dx0)
             dus = recover_controls(proj, dxs, dzs)
-        elif cfg.parallel_riccati:
-            sol = parallel_backward_pass(lq, cfg.reg)
-            dxs, dus = parallel_forward_pass(lq, sol, dx0)
         else:
-            sol = backward_pass(lq, cfg.reg)
-            dxs, dus = forward_pass(lq, sol, dx0)
+            lq_d = levenberg_damp(lq, cfg.reg)
+            if cfg.parallel_riccati:
+                sol = parallel_backward_pass(lq_d, cfg.reg_num)
+                dxs, dus = parallel_forward_pass(lq_d, sol, dx0)
+            else:
+                sol = backward_pass(lq_d, cfg.reg_num)
+                dxs, dus = forward_pass(lq_d, sol, dx0)
 
         if cfg.line_search == "filter":
             # ocs2 FilterLinesearch (see SqpSolverConfig docstring); all
@@ -155,14 +169,8 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
                 return perf(cand, times, params)
 
             cs, vs = jax.vmap(try_alpha)(alphas)
-            finite = jnp.isfinite(cs) & jnp.isfinite(vs)
-            ok = jnp.where(
-                v0 > cfg.filter_g_max,
-                vs < (1.0 - 1e-6) * v0,
-                jnp.where(vs < cfg.filter_g_min,
-                          cs < c0,
-                          (cs < c0) | (vs < (1.0 - 1e-6) * v0)),
-            ) & finite
+            ok = filter_accept(c0, v0, cs, vs,
+                               cfg.filter_g_max, cfg.filter_g_min)
             alpha = alphas[jnp.argmax(ok)] * jnp.any(ok).astype(alphas.dtype)
         else:
             merit0, _ = merit(traj, times, params, lam)
@@ -268,14 +276,15 @@ def make_staged_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig):
 
     @jax.jit
     def f_project(lq):
-        return project_lq(lq, lq.Cx, lq.Du, lq.g_res, cfg.proj_eps)
+        reduced, proj = project_lq(lq, lq.Cx, lq.Du, lq.g_res, cfg.proj_eps)
+        return levenberg_damp(reduced, cfg.reg), proj
 
     @jax.jit
     def f_riccati(reduced, dx0):
         if cfg.parallel_riccati:
-            sol = parallel_backward_pass(reduced, cfg.reg)
+            sol = parallel_backward_pass(reduced, cfg.reg_num)
             return parallel_forward_pass(reduced, sol, dx0)
-        sol = backward_pass(reduced, cfg.reg)
+        sol = backward_pass(reduced, cfg.reg_num)
         return forward_pass(reduced, sol, dx0)
 
     @jax.jit
@@ -293,13 +302,7 @@ def make_staged_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig):
             return perf(cand)
 
         cs, vs = jax.vmap(try_alpha)(alphas)
-        finite = jnp.isfinite(cs) & jnp.isfinite(vs)
-        ok = jnp.where(
-            v0 > cfg.filter_g_max,
-            vs < (1.0 - 1e-6) * v0,
-            jnp.where(vs < cfg.filter_g_min, cs < c0,
-                      (cs < c0) | (vs < (1.0 - 1e-6) * v0)),
-        ) & finite
+        ok = filter_accept(c0, v0, cs, vs, cfg.filter_g_max, cfg.filter_g_min)
         alpha = alphas[jnp.argmax(ok)] * jnp.any(ok).astype(alphas.dtype)
         new_traj = Trajectory(xs=traj.xs + alpha * dxs, us=traj.us + alpha * dus)
         g = eq_fn(new_traj, times, params)

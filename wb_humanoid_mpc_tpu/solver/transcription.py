@@ -175,15 +175,22 @@ def make_node_lq(ocp, flow, dt: float, bp: BarrierParams,
             terms, xdot = ocp.fused_node(t, x, u_, p)
             return terms.r, terms.h_log, terms.h_quad, terms.g, xdot
 
+        # Basis tangents inherit the primal's varying-manual-axes type via
+        # `+ 0 * primal` so `check_vma` inside shard_map accepts them (an
+        # unvarying jnp.eye tangent vs a device-varying primal is rejected);
+        # XLA folds the zero add.
+        eye_x = jnp.eye(nx, dtype=x.dtype) + 0.0 * x[None, :]
+        eye_u = jnp.eye(nu, dtype=u.dtype) + 0.0 * u[None, :]
+
         # one heavy linearization over x (the full rigid-body graph) ...
         (r, h_log, h_quad, g, k1, hmask), jvp_x = jax.linearize(fx, x)
-        Jx = jax.vmap(jvp_x)(jnp.eye(nx, dtype=x.dtype))
+        Jx = jax.vmap(jvp_x)(eye_x)
         Jr_x, Jhl_x, Jhq_x, Jg_x, Ac = jax.tree.map(
             lambda a: jnp.moveaxis(a, 0, -1), Jx[:5])
         # ... and one cheap linearization over u (x-only ops have symbolic-
         # zero tangents and are pruned from the tangent graph)
         _, jvp_u = jax.linearize(fu, u)
-        Ju = jax.vmap(jvp_u)(jnp.eye(nu, dtype=u.dtype))
+        Ju = jax.vmap(jvp_u)(eye_u)
         Jr_u, Jhl_u, Jhq_u, Jg_u, Bc = jax.tree.map(
             lambda a: jnp.moveaxis(a, 0, -1), Ju)
 
@@ -195,9 +202,9 @@ def make_node_lq(ocp, flow, dt: float, bp: BarrierParams,
             x_mid = x + 0.5 * dt * k1
             t_mid = t + 0.5 * dt
             k2, jvp_fx = jax.linearize(lambda x_: flow(t_mid, x_, u), x_mid)
-            Ac = jnp.moveaxis(jax.vmap(jvp_fx)(jnp.eye(nx, dtype=x.dtype)), 0, -1)
+            Ac = jnp.moveaxis(jax.vmap(jvp_fx)(eye_x), 0, -1)
             _, jvp_fu = jax.linearize(lambda u_: flow(t_mid, x_mid, u_), u)
-            Bc = jnp.moveaxis(jax.vmap(jvp_fu)(jnp.eye(nu, dtype=u.dtype)), 0, -1)
+            Bc = jnp.moveaxis(jax.vmap(jvp_fu)(eye_u), 0, -1)
         else:
             k2 = flow(t + 0.5 * dt, x + 0.5 * dt * k1, u)
         k3 = flow(t + 0.5 * dt, x + 0.5 * dt * k2, u)

@@ -75,10 +75,15 @@ class CommandBus:
 
     def drain_into(self, motion_manager) -> None:
         """Forward queued gait/pose requests to a MotionManager (call once
-        per solve from the control loop)."""
+        per solve from the control loop). Unknown gait names are logged and
+        dropped — a typo on the interactive console must not crash the
+        control loop mid-run."""
         g = self.pop_gait_request()
         if g is not None:
-            motion_manager.request_gait(g)
+            try:
+                motion_manager.request_gait(g)
+            except KeyError as e:
+                print(f"[commands] ignoring unknown gait: {e}", file=sys.stderr)
         p = self.pop_pose_request()
         if p is not None:
             motion_manager.set_pose_command(p)

@@ -127,7 +127,8 @@ def cmd_mujoco_sim(args):
         mpc, controller, sim, duration=args.duration,
         mrt_frequency=args.mrt_freq, mpc_frequency=args.mpc_freq,
         command_fn=lambda t: cmd if t > 0.5 else np.zeros(4),
-        solve_latency=args.solve_latency)
+        solve_latency=args.solve_latency,
+        use_pipeline=args.pipeline)
     print(f"[mujoco-sim] resets={log.n_resets}, "
           f"final base: {log.base_positions[-1]}, "
           f"height range [{log.base_heights.min():.3f}, {log.base_heights.max():.3f}]")
@@ -174,6 +175,10 @@ def main(argv=None):
     p.add_argument("--solve-latency", type=float, default=0.0,
                    help="async MRT: policies activate this many sim-seconds "
                         "after their observation (mujoco-sim only)")
+    p.add_argument("--pipeline", action="store_true",
+                   help="run the MPC on a real solver thread (MrtPipeline; "
+                        "the reference's solverWorker/control split, "
+                        "mujoco-sim only)")
     args = p.parse_args(argv)
 
     {"dummy-sim": cmd_dummy_sim,
