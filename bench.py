@@ -23,9 +23,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # The persistent compilation cache is CPU-only: on the tunneled axon TPU,
+    # executables deserialized from the cache execute ~24 ms/call slower than
+    # freshly compiled ones (measured round 4: identical forward-pass function,
+    # 23.6 ms cached vs 0.05 ms fresh). Benchmarks must measure the fresh path.
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_default_matmul_precision", "highest")
 
     from __graft_entry__ import _GAIT, _URDF, _WB_REF, _WB_TASK

@@ -82,19 +82,24 @@ def test_gait_override_mid_run(mpc):
 
 def test_pose_command_tracking(mpc):
     """Keyboard pose command (reference CentroidalMpcKeyboardPoseCommandNode):
-    a +0.2 m forward pose delta produces a 2-knot target the closed loop
-    tracks — the base moves forward with zero velocity command."""
+    a -8 cm pelvis-height delta produces a 2-knot target the closed loop
+    tracks. (Base x/y deltas are no-ops BY DESIGN: the G1 config weights
+    p_base_x/y at 0 in Q and Q_final — `task.info` Q rows 6-7 — so only the
+    height/orientation components of a pose command are actionable, exactly
+    as in the reference.)"""
     mpc.runtime.reset()
-    mpc.motion_manager.set_pose_command(np.array([0.2, 0.0, 0.0, 0.0]))
+    mpc.motion_manager.set_pose_command(np.array([0.0, 0.0, -0.08, 0.0]))
     log = run_dummy_sim(
         mpc.runtime, mpc.initial_state, duration=1.5,
         mrt_frequency=50.0, mpc_frequency=25.0,
         command_fn=lambda t: np.zeros(4), flow=mpc.model.flow_map,
     )
     assert np.isfinite(log.states).all()
-    assert log.states[-1, 6] > 0.03, \
-        f"base did not move toward the pose target (x = {log.states[-1, 6]:.3f})"
-    np.testing.assert_allclose(log.states[:, 8], 0.7925, atol=0.05)
+    target_z = mpc.motion_manager.calc.ref_cfg.default_base_height - 0.08
+    assert abs(log.states[-1, 8] - target_z) < 0.03, \
+        f"pelvis height did not track the pose command (z = {log.states[-1, 8]:.3f}, target {target_z:.3f})"
+    # base xy stays put (no xy weight, no xy command)
+    assert np.abs(log.states[-1, 6:8]).max() < 0.08
 
 
 def test_gains_service_live_update(mpc):

@@ -47,7 +47,7 @@ lam = jnp.zeros((N, ocp.n_eq))
 
 scfg = SqpSolverConfig(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=1, reg=1e-6)
 bp = ocp.barrier_params()
-lq_approx, total_cost, defects_fn, eq_fn, _cv = make_lq_functions(
+lq_approx, total_cost, defects_fn, eq_fn, *_cv = make_lq_functions(
     ocp, model.flow_map, scfg.dt, N, bp, sensitivity="exact")
 
 times = 0.0 + scfg.dt * jnp.arange(N + 1)

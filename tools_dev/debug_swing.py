@@ -43,7 +43,7 @@ traj = Trajectory(xs=jnp.tile(x0, (N + 1, 1)), us=jnp.asarray(us))
 lam = jnp.zeros((N, ocp.n_eq))
 reg = float(os.environ.get("DBG_REG", "1e-2"))
 bp = ocp.barrier_params()
-lq_approx, total_cost, defects_fn, eq_fn, cost_violation = make_lq_functions(ocp, model.flow_map, 0.02, N, bp)
+lq_approx, total_cost, defects_fn, eq_fn, cost_violation, _cp = make_lq_functions(ocp, model.flow_map, 0.02, N, bp)
 times = 0.02 * jnp.arange(N + 1)
 ALPHAS = jnp.asarray((1.0, 0.7, 0.5, 0.3, 0.2, 0.1, 0.05, 0.01))
 

@@ -40,7 +40,7 @@ ocp, model = mpc.ocp, mpc.model
 N = mpc.n_nodes
 refs = mpc.motion_manager.pre_solve(t_end, x_end, np.zeros(4), 0.02, np.zeros(6), 0.0)
 params = make_centroidal_node_params(ocp, refs.swing, jnp.asarray(refs.x_ref))
-lq_approx, total_cost, defects_fn, eq_fn, cost_violation = make_lq_functions(
+lq_approx, total_cost, defects_fn, eq_fn, cost_violation, _cp = make_lq_functions(
     ocp, model.flow_map, mpc.dt, N, ocp.barrier_params(), sensitivity="node")
 times = t_end + mpc.dt * jnp.arange(N + 1)
 

@@ -22,7 +22,7 @@ N, B = 28, 4
 cfg, model, ocp, x0s, init, params, lam = _walking_problem(N, B)
 scfg = SqpSolverConfig(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=1, sensitivity="node")
 
-lq_approx, total_cost, defects_fn, eq_fn, cost_violation = make_lq_functions(
+lq_approx, total_cost, defects_fn, eq_fn, cost_violation, _cp = make_lq_functions(
     ocp, model.flow_map, scfg.dt, N, ocp.barrier_params(), sensitivity="node")
 times = scfg.dt * jnp.arange(N + 1)
 

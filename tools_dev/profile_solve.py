@@ -25,7 +25,7 @@ ocp = WholeBodyOcp(model=model, cfg=cfg)
 N = 28
 scfg = SqpSolverConfig(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=1, reg=1e-4)
 
-lq_approx, total_cost, defects_fn, eq_fn, _cv = make_lq_functions(
+lq_approx, total_cost, defects_fn, eq_fn, *_cv = make_lq_functions(
     ocp, model.flow_map, scfg.dt, N, ocp.barrier_params())
 
 swing = SwingReference(

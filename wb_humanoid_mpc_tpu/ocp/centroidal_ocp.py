@@ -118,6 +118,18 @@ class CentroidalOcp:
 
     # ---- the per-node function ----
     def node_terms(self, t, x, u, p: NodeParams) -> NodeTerms:
+        return self.fused_node(t, x, u, p)[0]
+
+    def fused_node(self, t, x, u, p: NodeParams) -> tuple[NodeTerms, jnp.ndarray]:
+        """(NodeTerms, x_dot) sharing one FK / centroidal-momentum pass.
+
+        The flow map's h_dot needs the contact positions and the CoM, and its
+        qb_dot is exactly the base part of the generalized velocity the cost
+        terms already recover — so the dynamics come for free with the terms
+        (the reference caches the analogous quantities per node via
+        `HumanoidPreComputation`, SURVEY.md §2.1). The solver's "node"
+        sensitivity mode uses this to linearize the whole node once.
+        """
         c = self.cfg
         model = self.model
         lay = model.layout
@@ -286,7 +298,24 @@ class CentroidalOcp:
             g_rows.append(row[None])
         g = jnp.concatenate(g_rows)
 
-        return NodeTerms(r=r, h_log=h_log, h_log_mask=h_log_mask, h_quad=h_quad, g=g)
+        terms = NodeTerms(r=r, h_log=h_log, h_log_mask=h_log_mask,
+                          h_quad=h_quad, g=g)
+
+        # ---------- flow map (same FK pass; `com` computed for the ICP cost,
+        # foot positions in foot_kin) ----------
+        m_total = robot.total_mass
+        g_vec = jnp.array([0.0, 0.0, -robot.gravity], dtype=x.dtype)
+        f_sum = jnp.zeros(3, dtype=x.dtype)
+        tau_sum = jnp.zeros(3, dtype=x.dtype)
+        for i in range(2):
+            p_ci = foot_kin[i][1]
+            f_i = lay.contact_force(u, i)
+            tau_i = lay.contact_torque(u, i)
+            f_sum = f_sum + f_i
+            tau_sum = tau_sum + jnp.cross(p_ci - com, f_i) + tau_i
+        h_dot = jnp.concatenate([f_sum / m_total + g_vec, tau_sum / m_total])
+        x_dot = jnp.concatenate([h_dot, v[:6], qd_j])
+        return terms, x_dot
 
     def terminal_residual(self, t, x, p: NodeParams) -> jnp.ndarray:
         """Terminal GN residual (reference `HumanoidCostConstraintFactory.cpp:218-227`)."""

@@ -28,7 +28,7 @@ def _wb_problem(n_nodes: int):
     cfg, model = _wb_setup()
     ocp = WholeBodyOcp(model=model, cfg=cfg)
     N = n_nodes
-    solver_cfg = SqpSolverConfig(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=1, reg=1e-4)
+    solver_cfg = SqpSolverConfig(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=1)
     solve = make_sqp_solver(ocp, model.flow_map, ocp.barrier_params(), solver_cfg)
 
     swing = SwingReference(
@@ -45,7 +45,7 @@ def _wb_problem(n_nodes: int):
 
 
 def batched_throughput(batch: int, n_nodes: int = 28, formulation: str = "wb",
-                       n_rounds: int = 10, seed: int = 0) -> dict:
+                       n_rounds: int = 30, seed: int = 0) -> dict:
     """Instances/s and SQP iterations/s for a vmapped batch on the current
     device set (single program; XLA shards if inputs are sharded)."""
     import jax
@@ -64,10 +64,15 @@ def batched_throughput(batch: int, n_nodes: int = 28, formulation: str = "wb",
     sol = jax.block_until_ready(vsolve(0.0, x0s, trajB, paramsB, lamB))
     trajB, lamB = sol.traj, sol.lam
 
+    # warm-started rounds dispatched back-to-back, one block at the end —
+    # the production MRT pipelining mode (per-round blocking would charge
+    # every round the tunnel's ~24 ms blocking-dispatch artifact, see
+    # PERF_r04.md §3)
     t0 = time.perf_counter()
     for _ in range(n_rounds):
-        sol = jax.block_until_ready(vsolve(0.0, x0s, trajB, paramsB, lamB))
+        sol = vsolve(0.0, x0s, trajB, paramsB, lamB)
         trajB, lamB = sol.traj, sol.lam
+    jax.block_until_ready(sol)
     dt = (time.perf_counter() - t0) / n_rounds
 
     return {
@@ -82,4 +87,15 @@ def batched_throughput(batch: int, n_nodes: int = 28, formulation: str = "wb",
 
 
 def scaling_report(batches=(1, 8, 64, 256, 1024), n_nodes: int = 28) -> list[dict]:
-    return [batched_throughput(b, n_nodes) for b in batches]
+    """Batch sweep; points that exceed device memory are recorded as such
+    instead of aborting the report (the v5e's 16 GB HBM caps the vmapped
+    whole-body LQ around batch ~48 at N=28 without rematerialization)."""
+    out = []
+    for b in batches:
+        try:
+            out.append(batched_throughput(b, n_nodes))
+        except Exception as e:  # noqa: BLE001 — record OOM/compile failures
+            out.append({"batch": b, "n_nodes": n_nodes,
+                        "error": str(e).splitlines()[0][:200]})
+            break
+    return out

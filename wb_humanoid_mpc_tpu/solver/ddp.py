@@ -34,7 +34,7 @@ from wb_humanoid_mpc_tpu.solver.transcription import (
 def make_ddp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Callable:
     """Returns solve(t0, x0, init_traj, params, lam) -> SqpSolution (jittable)."""
 
-    lq_approx, total_cost, defects_fn, eq_fn, _ = make_lq_functions(
+    lq_approx, total_cost, defects_fn, eq_fn, *_ = make_lq_functions(
         ocp, flow, cfg.dt, cfg.n_nodes, bp)
     alphas = jnp.asarray(cfg.alphas)
 

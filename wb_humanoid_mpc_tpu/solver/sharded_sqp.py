@@ -130,7 +130,7 @@ def make_sharded_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig,
                 in_axes=(0, 0, 0, 0, 0)), in_axes=(None, 0, 0, 0, 0))(
                 times, xs, us, params, lam)
             (A, B, x_next, Qxx, Quu, Qux, qx, qu, cost_n, gmax_n,
-             g, Cx, Du) = outs
+             g, Cx, Du, c_pure_n, g_sse_n) = outs
             d = x_next - shift_left(xs, horizon_axis)
             d = jnp.where(stage_valid[None, :, None], d, 0.0)
 
@@ -191,7 +191,16 @@ def make_sharded_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig,
                    + jnp.einsum("bkij,bkj->bki", Zp, dzs) + wp)
 
             # ---- parallel FILTER line search (per batch element) ----
-            c0, v0, _, _ = merit_parts(xs, us)
+            # baseline (c0, v0) from the LQ byproducts (same NodeTerms the
+            # linearization evaluated — keep in lockstep with make_sqp_solver)
+            cT0 = jax.vmap(jax.vmap(
+                lambda x_, p_: term_quad(t_term, x_, p_)[2]))(xs, params)
+            c0 = jax.lax.psum(
+                jnp.sum(jnp.where(stage_valid, c_pure_n, 0.0), axis=1)
+                + jnp.sum(jnp.where(is_term, cT0, 0.0), axis=1), horizon_axis)
+            v0 = jnp.sqrt(jax.lax.psum(
+                jnp.sum(jnp.where(stage_valid, g_sse_n, 0.0), axis=1)
+                + jnp.sum(d**2, axis=(1, 2)), horizon_axis))
 
             def try_alpha(a):
                 c, v, _, _ = merit_parts(xs + a * dx_here, us + a * dus)

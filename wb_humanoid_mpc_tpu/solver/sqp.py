@@ -111,7 +111,8 @@ class SqpSolverConfig:
 def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Callable:
     """Returns solve(t0, x0, init_traj, params, lam) -> SqpSolution (jittable)."""
 
-    lq_approx, total_cost, defects_fn, eq_fn, cost_violation = make_lq_functions(
+    (lq_approx, total_cost, defects_fn, eq_fn, cost_violation,
+     candidate_perf) = make_lq_functions(
         ocp, flow, cfg.dt, cfg.n_nodes, bp, sensitivity=cfg.sensitivity)
     alphas = jnp.asarray(cfg.alphas)
 
@@ -119,12 +120,6 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
         c, gmax = total_cost(traj, times, params, lam, cfg.rho)
         d = defects_fn(traj, times)
         return c + cfg.defect_weight * jnp.sum(jnp.abs(d)), gmax
-
-    def perf(traj, times, params):
-        """(cost, violation) — ocs2 PerformanceIndex for the filter search."""
-        c, g_sse, _ = cost_violation(traj, times, params)
-        d = defects_fn(traj, times)
-        return c, jnp.sqrt(g_sse + jnp.sum(d**2))
 
     # With exact projection the equality penalty must NOT dominate the LQ
     # cost: its rho*Jg^T Jg Gauss-Newton block only cancels on the constraint
@@ -159,18 +154,38 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
                 dxs, dus = forward_pass(lq_d, sol, dx0)
 
         if cfg.line_search == "filter":
-            # ocs2 FilterLinesearch (see SqpSolverConfig docstring); all
-            # candidates evaluated in one vmap, the LARGEST accepted step
-            # wins (alphas ordered descending)
-            c0, v0 = perf(traj, times, params)
+            # ocs2 FilterLinesearch (see SqpSolverConfig docstring): the
+            # LARGEST accepted step wins (alphas ordered descending). The
+            # baseline (c0, v0) is a free byproduct of the LQ pass (same
+            # NodeTerms), and the candidate evaluation is two-staged: the
+            # top-2 steps are tried first and the remaining ladder is only
+            # evaluated (lax.cond) when both fail — near-converged MPC
+            # re-solves accept the full step almost always, so the common
+            # case pays 2 candidate sweeps instead of 8. Selection is
+            # EXACTLY the all-at-once rule: if a top step is accepted the
+            # lower ones cannot win. (Under vmap the cond becomes a select
+            # and both stages run — batched throughput is unchanged.)
+            c0, v0 = lq.cost_pure, lq.viol
 
             def try_alpha(a):
                 cand = Trajectory(xs=traj.xs + a * dxs, us=traj.us + a * dus)
-                return perf(cand, times, params)
+                return candidate_perf(cand, times, params)
 
-            cs, vs = jax.vmap(try_alpha)(alphas)
-            ok = filter_accept(c0, v0, cs, vs,
-                               cfg.filter_g_max, cfg.filter_g_min)
+            n_hi = 2
+            cs_hi, vs_hi = jax.vmap(try_alpha)(alphas[:n_hi])
+            ok_hi = filter_accept(c0, v0, cs_hi, vs_hi,
+                                  cfg.filter_g_max, cfg.filter_g_min)
+
+            def eval_rest(_):
+                cs_lo, vs_lo = jax.vmap(try_alpha)(alphas[n_hi:])
+                return filter_accept(c0, v0, cs_lo, vs_lo,
+                                     cfg.filter_g_max, cfg.filter_g_min)
+
+            ok_lo = jax.lax.cond(
+                jnp.any(ok_hi),
+                lambda _: jnp.zeros(alphas.shape[0] - n_hi, bool),
+                eval_rest, None)
+            ok = jnp.concatenate([ok_hi, ok_lo])
             alpha = alphas[jnp.argmax(ok)] * jnp.any(ok).astype(alphas.dtype)
         else:
             merit0, _ = merit(traj, times, params, lam)
@@ -265,7 +280,8 @@ def make_staged_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig):
     if cfg.equality_handling != "projection":
         raise ValueError("staged solver only implements the projection path")
 
-    lq_approx, total_cost, defects_fn, eq_fn, cost_violation = make_lq_functions(
+    (lq_approx, total_cost, defects_fn, eq_fn, cost_violation,
+     candidate_perf) = make_lq_functions(
         ocp, flow, cfg.dt, cfg.n_nodes, bp, sensitivity=cfg.sensitivity)
     alphas = jnp.asarray(cfg.alphas)
     rho_lq = cfg.rho if cfg.equality_handling == "al" else min(cfg.rho, 1.0)
@@ -288,18 +304,12 @@ def make_staged_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig):
         return forward_pass(reduced, sol, dx0)
 
     @jax.jit
-    def f_linesearch(traj, times, params, lam, dxs, dus):
-        # ocs2 FilterLinesearch, same rule as the fused solver
-        def perf(tr):
-            c, g_sse, _ = cost_violation(tr, times, params)
-            d = defects_fn(tr, times)
-            return c, jnp.sqrt(g_sse + jnp.sum(d**2))
-
-        c0, v0 = perf(traj)
-
+    def f_linesearch(traj, times, params, lam, c0, v0, dxs, dus):
+        # ocs2 FilterLinesearch, same rule as the fused solver; baseline
+        # (c0, v0) comes from the LQ byproducts
         def try_alpha(a):
             cand = Trajectory(xs=traj.xs + a * dxs, us=traj.us + a * dus)
-            return perf(cand)
+            return candidate_perf(cand, times, params)
 
         cs, vs = jax.vmap(try_alpha)(alphas)
         ok = filter_accept(c0, v0, cs, vs, cfg.filter_g_max, cfg.filter_g_min)
@@ -335,7 +345,8 @@ def make_staged_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig):
 
             t0_ = _time.perf_counter()
             traj, alpha, g_max = jax.block_until_ready(
-                f_linesearch(traj, times, params, lam, dxs, dus))
+                f_linesearch(traj, times, params, lam,
+                             lq.cost_pure, lq.viol, dxs, dus))
             t_ls += _time.perf_counter() - t0_
 
         d = defects_fn(traj, times)

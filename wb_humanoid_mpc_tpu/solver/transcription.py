@@ -63,6 +63,10 @@ class LQApprox(NamedTuple):
     Cx: jnp.ndarray = None     # [N, nc, nx] equality state Jacobians
     Du: jnp.ndarray = None     # [N, nc, nu] equality input Jacobians
     g_res: jnp.ndarray = None  # [N, nc] equality residuals
+    # line-search baseline byproducts (free: computed from the same NodeTerms
+    # the linearization already evaluated — saves one full node sweep/solve)
+    cost_pure: jnp.ndarray = None  # scalar: cost WITHOUT AL terms (+ terminal)
+    viol: jnp.ndarray = None       # scalar: sqrt(SSE(g) + SSE(defects))
 
 
 class Trajectory(NamedTuple):
@@ -91,8 +95,9 @@ def node_cost_terms(terms, bp: BarrierParams, lam, rho):
 
 def make_node_lq(ocp, flow, dt: float, bp: BarrierParams,
                  sensitivity: str = "exact") -> Callable:
-    """Single-node LQ builder: (t, x, u, p, lam, rho) -> 13-tuple of
-    (A, B, x_next, Qxx, Quu, Qux, qx, qu, cost, g_max, g, Cx, Du).
+    """Single-node LQ builder: (t, x, u, p, lam, rho) -> 15-tuple of
+    (A, B, x_next, Qxx, Quu, Qux, qx, qu, cost, g_max, g, Cx, Du,
+    cost_pure, g_sse).
 
     The vmap-over-nodes wrapper lives in `make_lq_functions`; the
     horizon-sharded solver (`solver/sharded_sqp.py`) vmaps this over its
@@ -156,12 +161,14 @@ def make_node_lq(ocp, flow, dt: float, bp: BarrierParams,
 
         grad, Hess = _gn_assemble(r, h_log, h_quad, g, hmask,
                                   Jr, Jhl, Jhq, Jg, lam, rho)
-        cost = node_cost_terms(_Terms(r, h_log, hmask, h_quad, g), bp, lam, rho)
+        terms = _Terms(r, h_log, hmask, h_quad, g)
+        cost = node_cost_terms(terms, bp, lam, rho)
+        c_pure = node_cost_terms(terms, bp, jnp.zeros_like(g), 1e-12)
 
         return (Jf[:, :nx], Jf[:, nx:], x_next,
                 Hess[:nx, :nx], Hess[nx:, nx:], Hess[nx:, :nx],
                 grad[:nx], grad[nx:], cost, jnp.max(jnp.abs(g)),
-                g, Jg[:, :nx], Jg[:, nx:])
+                g, Jg[:, :nx], Jg[:, nx:], c_pure, jnp.sum(g**2))
 
     def node_lq_fused(t, x, u, p, lam, rho):
         nx, nu = x.shape[0], u.shape[0]
@@ -224,12 +231,14 @@ def make_node_lq(ocp, flow, dt: float, bp: BarrierParams,
         Jg = jnp.concatenate([Jg_x, Jg_u], axis=1)
         grad, Hess = _gn_assemble(r, h_log, h_quad, g, hmask,
                                   Jr, Jhl, Jhq, Jg, lam, rho)
-        cost = node_cost_terms(_Terms(r, h_log, hmask, h_quad, g), bp, lam, rho)
+        terms = _Terms(r, h_log, hmask, h_quad, g)
+        cost = node_cost_terms(terms, bp, lam, rho)
+        c_pure = node_cost_terms(terms, bp, jnp.zeros_like(g), 1e-12)
 
         return (A_d, B_d, x_next,
                 Hess[:nx, :nx], Hess[nx:, nx:], Hess[nx:, :nx],
                 grad[:nx], grad[nx:], cost, jnp.max(jnp.abs(g)),
-                g, Jg_x, Jg_u)
+                g, Jg_x, Jg_u, c_pure, jnp.sum(g**2))
 
     return node_lq_fused if use_fused else node_lq_exact
 
@@ -245,7 +254,7 @@ def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams,
         xs, us = traj.xs, traj.us
         stage_params = jax.tree.map(lambda a: a[:-1], params)
         (A, B, x_next, Qxx, Quu, Qux, qx, qu, costs, gmax,
-         g_res, Cx, Du) = jax.vmap(
+         g_res, Cx, Du, c_pure, g_sse) = jax.vmap(
             node_lq, in_axes=(0, 0, 0, 0, 0, None)
         )(times[:-1], xs[:-1], us, stage_params, lam, rho)
 
@@ -265,7 +274,9 @@ def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams,
                         QN=QN, qN=qN, cost=total_cost,
                         g_norm=jnp.max(gmax),
                         defect_norm=jnp.max(jnp.abs(d)),
-                        Cx=Cx, Du=Du, g_res=g_res)
+                        Cx=Cx, Du=Du, g_res=g_res,
+                        cost_pure=jnp.sum(c_pure) + 0.5 * jnp.sum(rT**2),
+                        viol=jnp.sqrt(jnp.sum(g_sse) + jnp.sum(d**2)))
 
     def total_cost(traj: Trajectory, times, params, lam, rho):
         """Nonlinear cost + AL terms (for line-search merit)."""
@@ -305,4 +316,34 @@ def make_lq_functions(ocp, flow, dt: float, N: int, bp: BarrierParams,
         return jax.vmap(lambda t, x, u, p: ocp.node_terms(t, x, u, p).g)(
             times[:-1], traj.xs[:-1], traj.us, stage_params)
 
-    return lq_approximation, total_cost, defects, eq_residuals, cost_and_violation
+    use_fused = hasattr(ocp, "fused_node")
+
+    def candidate_perf(traj: Trajectory, times, params):
+        """(pure cost, total violation) for one line-search candidate in a
+        SINGLE node sweep: with `ocp.fused_node` the RK4's k1 shares the
+        rigid-body pass with the cost/constraint terms (4 passes per node
+        instead of the 5 a separate cost_and_violation + defects pair costs
+        — the line search is the hottest phase of the solve)."""
+        def one(t, x, u, p, x_next_ref):
+            if use_fused:
+                terms, k1 = ocp.fused_node(t, x, u, p)
+            else:
+                terms = ocp.node_terms(t, x, u, p)
+                k1 = flow(t, x, u)
+            c = node_cost_terms(terms, bp, jnp.zeros_like(terms.g), 1e-12)
+            k2 = flow(t + 0.5 * dt, x + 0.5 * dt * k1, u)
+            k3 = flow(t + 0.5 * dt, x + 0.5 * dt * k2, u)
+            k4 = flow(t + dt, x + dt * k3, u)
+            x_next = x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+            d = x_next - x_next_ref
+            return c, jnp.sum(terms.g**2) + jnp.sum(d**2)
+
+        stage_params = jax.tree.map(lambda a: a[:-1], params)
+        cs, v_sse = jax.vmap(one)(times[:-1], traj.xs[:-1], traj.us,
+                                  stage_params, traj.xs[1:])
+        rT = ocp.terminal_residual(times[-1], traj.xs[-1],
+                                   jax.tree.map(lambda a: a[-1], params))
+        return jnp.sum(cs) + 0.5 * jnp.sum(rT**2), jnp.sqrt(jnp.sum(v_sse))
+
+    return (lq_approximation, total_cost, defects, eq_residuals,
+            cost_and_violation, candidate_perf)

@@ -137,6 +137,7 @@ class XboxCommandSource:
         self.poll_hz = poll_hz
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
+        self.connected = False  # mirrored by the velocity GUI's LED
 
     def start(self) -> bool:
         try:
@@ -154,11 +155,13 @@ class XboxCommandSource:
             while not self._stop.is_set():
                 if js is None:
                     # reconnect polling (reference :63-67)
+                    self.connected = False
                     pygame.joystick.quit()
                     pygame.joystick.init()
                     if pygame.joystick.get_count() > 0:
                         js = pygame.joystick.Joystick(0)
                         js.init()
+                        self.connected = True
                     time.sleep(1.0)
                     continue
                 pygame.event.pump()

@@ -62,14 +62,19 @@ def cmd_dummy_sim(args):
     cmd = np.array([args.vx, args.vy, args.height, args.wz])
     print(f"[dummy-sim] {args.formulation} MPC, N={mpc.n_nodes}, dt={mpc.dt}; "
           f"command={cmd}")
-    if args.interactive:
+    if args.interactive or args.gui:
         # operator plane: stdin commands `vel vx vy wz`, `gait trot`,
         # `pose dx dy dz dyaw`, `height h`, `stop` (reference keyboard
-        # publishers + pose command node)
+        # publishers + pose command node), optionally the Tk velocity GUI
+        # (reference base_velocity_controller_gui)
         from wb_humanoid_mpc_tpu.tools.commands import CommandBus, KeyboardCommandSource
 
         bus = CommandBus()
         KeyboardCommandSource(bus).start()
+        if args.gui:
+            from wb_humanoid_mpc_tpu.tools.velocity_gui import launch_velocity_gui
+
+            launch_velocity_gui(bus)
 
         def command_fn(t):
             bus.drain_into(mpc.motion_manager)
@@ -172,6 +177,9 @@ def main(argv=None):
     p.add_argument("--plot", default=None)
     p.add_argument("--interactive", action="store_true",
                    help="read vel/gait/pose commands from stdin while running")
+    p.add_argument("--gui", action="store_true",
+                   help="Tk velocity-controller GUI (reference "
+                        "base_velocity_controller_gui); headless-safe no-op")
     p.add_argument("--solve-latency", type=float, default=0.0,
                    help="async MRT: policies activate this many sim-seconds "
                         "after their observation (mujoco-sim only)")
