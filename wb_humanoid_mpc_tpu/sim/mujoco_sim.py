@@ -4,11 +4,10 @@ Re-provides the reference's `MujocoSimInterface`
 (`MujocoSimInterface.{h,cpp}`: dt=0.5 ms physics, per-step PD+ff torque
 application, `RobotState` extraction with local-frame base velocities, contact
 flags, auto-reset when base z < 0.2 m — `MujocoSimInterface.cpp:313-388`).
-Physics advances synchronously via `apply_action_and_step`; the closed-loop
-pacing (MRT at 500 Hz, MPC at 60-80 Hz) is orchestrated by
-`sim/closed_loop.py` (synchronous) — the reference's dedicated 2 kHz sim
-thread maps to the async MRT pipeline there. Loads the reference's MJCF G1
-model directly. Contact flags are read from the MuJoCo contact table
+Physics advances via `apply_action_and_step`: synchronously from
+`sim/closed_loop.py`, or on the dedicated 2 kHz physics thread in
+`sim/sim_thread.py` (`MujocoSimThread`, the reference's sim-thread
+architecture). Loads the reference's MJCF G1 model directly. Contact flags are read from the MuJoCo contact table
 (improves on the reference's hard-coded-true placeholder,
 `MujocoSimInterface.cpp:313-318`).
 """

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from wb_humanoid_mpc_tpu.ocp.base import BarrierParams
+from wb_humanoid_mpc_tpu.ops.rollout import forward_rollout
 from wb_humanoid_mpc_tpu.solver.linesearch import filter_accept
 from wb_humanoid_mpc_tpu.solver.priccati import (
     parallel_backward_pass,
@@ -106,6 +107,11 @@ class SqpSolverConfig:
     line_search: str = "filter"
     filter_g_max: float = 1e-2  # reference task.info multiple_shooting.g_max
     filter_g_min: float = 1e-6  # reference task.info multiple_shooting.g_min
+    # LQ forward rollout backend: "auto" = single Pallas kernel on TPU
+    # (ops/rollout.py, the whole recursion in one launch), lax.scan
+    # elsewhere; "scan" forces XLA; "interpret" runs the Pallas kernel in
+    # interpret mode (CPU equivalence tests).
+    rollout_backend: str = "auto"
 
 
 def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Callable:
@@ -142,7 +148,8 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
                 dxs, dzs = parallel_forward_pass(reduced, sol, dx0)
             else:
                 sol = backward_pass(reduced, cfg.reg_num)
-                dxs, dzs = forward_pass(reduced, sol, dx0)
+                dxs, dzs = forward_rollout(reduced, sol, dx0,
+                                           cfg.rollout_backend)
             dus = recover_controls(proj, dxs, dzs)
         else:
             lq_d = levenberg_damp(lq, cfg.reg)
@@ -151,7 +158,8 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
                 dxs, dus = parallel_forward_pass(lq_d, sol, dx0)
             else:
                 sol = backward_pass(lq_d, cfg.reg_num)
-                dxs, dus = forward_pass(lq_d, sol, dx0)
+                dxs, dus = forward_rollout(lq_d, sol, dx0,
+                                           cfg.rollout_backend)
 
         if cfg.line_search == "filter":
             # ocs2 FilterLinesearch (see SqpSolverConfig docstring): the
@@ -301,7 +309,7 @@ def make_staged_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig):
             sol = parallel_backward_pass(reduced, cfg.reg_num)
             return parallel_forward_pass(reduced, sol, dx0)
         sol = backward_pass(reduced, cfg.reg_num)
-        return forward_pass(reduced, sol, dx0)
+        return forward_rollout(reduced, sol, dx0, cfg.rollout_backend)
 
     @jax.jit
     def f_linesearch(traj, times, params, lam, c0, v0, dxs, dus):

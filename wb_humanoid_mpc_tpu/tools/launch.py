@@ -128,12 +128,24 @@ def cmd_mujoco_sim(args):
     controller = (CentroidalMrtController(mpc.model)
                   if args.formulation == "centroidal" else WBMrtController(mpc.model))
     cmd = np.array([args.vx, args.vy, args.height, args.wz])
-    log = run_mujoco_closed_loop(
-        mpc, controller, sim, duration=args.duration,
-        mrt_frequency=args.mrt_freq, mpc_frequency=args.mpc_freq,
-        command_fn=lambda t: cmd if t > 0.5 else np.zeros(4),
-        solve_latency=args.solve_latency,
-        use_pipeline=args.pipeline)
+    command_fn = lambda t: cmd if t > 0.5 else np.zeros(4)  # noqa: E731
+    if args.threaded:
+        from wb_humanoid_mpc_tpu.sim.sim_thread import run_threaded_robot_sim
+
+        log, metrics, renderer = run_threaded_robot_sim(
+            mpc, controller, sim, duration=args.duration,
+            mrt_frequency=args.mrt_freq, command_fn=command_fn,
+            realtime=args.realtime, render_fps=args.render_fps)
+        print(f"[mujoco-sim threaded] sim fps={metrics.sim_fps:.0f}, "
+              f"rt factor={metrics.realtime_factor:.2f}, "
+              f"frames={len(renderer.frames) if renderer else 0}")
+    else:
+        log = run_mujoco_closed_loop(
+            mpc, controller, sim, duration=args.duration,
+            mrt_frequency=args.mrt_freq, mpc_frequency=args.mpc_freq,
+            command_fn=command_fn,
+            solve_latency=args.solve_latency,
+            use_pipeline=args.pipeline)
     print(f"[mujoco-sim] resets={log.n_resets}, "
           f"final base: {log.base_positions[-1]}, "
           f"height range [{log.base_heights.min():.3f}, {log.base_heights.max():.3f}]")
@@ -183,6 +195,16 @@ def main(argv=None):
     p.add_argument("--solve-latency", type=float, default=0.0,
                    help="async MRT: policies activate this many sim-seconds "
                         "after their observation (mujoco-sim only)")
+    p.add_argument("--threaded", action="store_true",
+                   help="three-thread robot sim: dedicated 2 kHz physics "
+                        "thread + solver thread + control loop (reference "
+                        "MujocoSimInterface.cpp:393+ architecture; "
+                        "mujoco-sim only)")
+    p.add_argument("--realtime", action="store_true",
+                   help="pace the threaded sim to the wall clock")
+    p.add_argument("--render-fps", type=float, default=0.0,
+                   help="> 0: start the render thread at this fps "
+                        "(offscreen frames when GL is available)")
     p.add_argument("--pipeline", action="store_true",
                    help="run the MPC on a real solver thread (MrtPipeline; "
                         "the reference's solverWorker/control split, "

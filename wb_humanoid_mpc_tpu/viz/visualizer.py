@@ -42,6 +42,126 @@ def contact_corner_forces(wrench: np.ndarray, corners: np.ndarray) -> np.ndarray
     return f.reshape(n_c, 3)
 
 
+def contacts_cop(positions_w: np.ndarray, wrenches: np.ndarray) -> np.ndarray | None:
+    """Center of pressure over the stance contacts (reference
+    `DynamicsHelperFunctions` `computeContactsCoP`): per-contact CoP offset
+    [-ty/fz, tx/fz] from the local moments, averaged weighted by normal force.
+    Returns None when no contact carries load."""
+    fz = wrenches[:, 2]
+    total = float(np.sum(fz))
+    if total <= 1e-6:
+        return None
+    cop = np.zeros(3)
+    for p, w in zip(positions_w, wrenches):
+        if w[2] <= 1e-6:
+            continue
+        local = np.array([-w[4] / w[2], w[3] / w[2], 0.0])
+        cop += w[2] * (p + local)
+    return cop / total
+
+
+def _skeleton_segments(robot, q: np.ndarray) -> np.ndarray:
+    """[n_joints, 2, 3] world segments parent-body-origin -> child-body-origin
+    from one FK pass (viz analogue of the RViz robot_state_publisher chain)."""
+    from wb_humanoid_mpc_tpu.models.kinematics import forward_kinematics
+
+    fk = forward_kinematics(robot, np.asarray(q, dtype=np.float64))
+    p = np.asarray(fk.p)
+    parents = np.asarray(robot.joint_parent_body)
+    segs = np.stack([p[parents], p[1:]], axis=1)
+    return segs
+
+
+def render_scene(model, x_current, policy=None, x_target=None,
+                 u_current=None, out_path: str = "scene.png") -> str:
+    """Headless RViz-scene analogue (reference `HumanoidVisualizer.cpp:109-114`
+    publishes current/terminal/target robot joint states, foot markers, CoP,
+    corner force arrows and the optimized base trajectory; here they render
+    into one 3-D matplotlib scene).
+
+    model: Centroidal/WB MPC robot model (`.layout`, `.robot`);
+    x_current: current MPC state; policy: optional solver policy (terminal
+    state + optimized base path); x_target: optional target state;
+    u_current: optional input for corner-force arrows + CoP.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from wb_humanoid_mpc_tpu.models.kinematics import (
+        forward_kinematics,
+        frame_transform,
+    )
+
+    lay = model.layout
+    robot = model.robot
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(projection="3d")
+
+    def draw_robot(x, color, label, lw=2.0, alpha=1.0):
+        q = np.asarray(lay.generalized_coordinates(np.asarray(x)))
+        for seg in _skeleton_segments(robot, q):
+            ax.plot(seg[:, 0], seg[:, 1], seg[:, 2], color=color, lw=lw,
+                    alpha=alpha)
+        ax.plot([], [], color=color, lw=lw, alpha=alpha, label=label)
+        return q
+
+    q_cur = draw_robot(x_current, "tab:blue", "current")
+    if policy is not None:
+        draw_robot(policy.xs[-1], "tab:orange", "terminal (optimized)",
+                   lw=1.2, alpha=0.7)
+        base_traj = np.stack([
+            np.asarray(lay.base_position(np.asarray(x))) for x in policy.xs])
+        ax.plot(base_traj[:, 0], base_traj[:, 1], base_traj[:, 2],
+                "k--", lw=1.0, label="optimized base path")
+    if x_target is not None:
+        draw_robot(x_target, "tab:green", "target", lw=1.2, alpha=0.7)
+
+    # foot polygons, corner forces, CoP for the CURRENT configuration
+    fk = forward_kinematics(robot, np.asarray(q_cur, dtype=np.float64))
+    contact_names = list(getattr(model, "contact_frames", [])) or [
+        n for n in robot.frames if n.endswith("_contact")]
+    contact_pos, wrenches = [], []
+    for ci, cname in enumerate(contact_names):
+        Rc, pc = frame_transform(robot, fk, cname)
+        Rc, pc = np.asarray(Rc), np.asarray(pc)
+        contact_pos.append(pc)
+        corners_w = []
+        for i in range(4):
+            _, pcorner = frame_transform(robot, fk, f"{cname}_p_{i}")
+            corners_w.append(np.asarray(pcorner))
+        poly = np.asarray(corners_w + [corners_w[0]])
+        ax.plot(poly[:, 0], poly[:, 1], poly[:, 2], color="tab:red", lw=1.0)
+        if u_current is not None:
+            w_local = np.asarray(lay.contact_wrench(np.asarray(u_current), ci))
+            wrenches.append(w_local)
+            corner_f = contact_corner_forces(
+                w_local, np.asarray(corners_w) - pc)
+            for p0, f in zip(corners_w, corner_f):
+                f_w = Rc @ f
+                ax.quiver(p0[0], p0[1], p0[2],
+                          f_w[0], f_w[1], f_w[2],
+                          length=1e-3, color="tab:purple", normalize=False)
+    if wrenches:
+        cop = contacts_cop(np.asarray(contact_pos), np.asarray(wrenches))
+        if cop is not None:
+            ax.scatter([cop[0]], [cop[1]], [cop[2]], color="black", s=40,
+                       marker="x", label="CoP")
+
+    ax.legend(loc="upper left", fontsize=8)
+    ax.set_xlabel("x [m]"); ax.set_ylabel("y [m]"); ax.set_zlabel("z [m]")
+    # equal-ish aspect around the robot
+    c = np.asarray(lay.base_position(np.asarray(x_current)))
+    ax.set_xlim(c[0] - 0.8, c[0] + 0.8)
+    ax.set_ylim(c[1] - 0.8, c[1] + 0.8)
+    ax.set_zlim(0.0, 1.6)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return out_path
+
+
 class TrajectoryVisualizer:
     def __init__(self, mjcf_path: str | None = None):
         self.mjcf_path = mjcf_path
