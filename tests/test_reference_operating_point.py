@@ -56,3 +56,32 @@ def test_centroidal_reference_operating_point_walk():
     assert single_support > 0.15
     assert (log.contact_flags[:, 0] < 0.5).any()
     assert (log.contact_flags[:, 1] < 0.5).any()
+
+
+@pytest.mark.slow
+def test_centroidal_pose_command_tracking():
+    """Keyboard pose command at a reference-length (1.2 s) horizon: a -8 cm
+    pelvis-height delta is actually tracked. At the fast tier's 0.3 s horizon
+    the reference weights make crouching uneconomical (see
+    test_dummy_sim.py::test_pose_command_tracking); with the full look-ahead
+    the z-error saving pays for the joint motion and the robot descends at
+    ~2 cm/s (single-solve plan slope verified: 0.7925 -> 0.7726 over one
+    1.2 s horizon)."""
+    mpc = build_centroidal_mpc(
+        G1_URDF, G1_CENTROIDAL_TASK, CENTROIDAL_REF, GAIT_INFO,
+        n_nodes=15, dt_override=0.08, sqp_iterations=2,
+    )
+    mpc.runtime.reset()
+    mpc.motion_manager.set_pose_command(np.array([0.0, 0.0, -0.08, 0.0]))
+    log = run_dummy_sim(
+        mpc.runtime, mpc.initial_state, duration=5.0,
+        mrt_frequency=50.0, mpc_frequency=25.0,
+        command_fn=lambda t: np.zeros(4), flow=mpc.model.flow_map,
+    )
+    assert np.isfinite(log.states).all()
+    z = log.states[:, 8]
+    assert z[-1] < 0.755, \
+        f"pose command not tracked at reference horizon (z_end = {z[-1]:.4f})"
+    assert z.min() > 0.70, f"overshoot below command (z_min = {z.min():.4f})"
+    # xy stays put
+    assert np.abs(log.states[-1, 6:8]).max() < 0.08

@@ -106,6 +106,15 @@ def cmd_dummy_sim(args):
         TrajectoryVisualizer.export_summary(log, args.plot,
                                             state_z_index=8 if args.formulation == "centroidal" else 2)
         print(f"[dummy-sim] summary plot -> {args.plot}")
+    if args.scene:
+        from wb_humanoid_mpc_tpu.viz.visualizer import render_scene
+
+        policy = mpc.runtime.policy
+        render_scene(mpc.model, log.states[-1], policy=policy,
+                     x_target=None, u_current=log.inputs[-1],
+                     out_path=args.scene)
+        print(f"[dummy-sim] final scene (current/terminal robots, CoP, "
+              f"corner forces) -> {args.scene}")
 
 
 def cmd_mujoco_sim(args):
@@ -187,6 +196,9 @@ def main(argv=None):
     p.add_argument("--rounds", type=int, default=10)
     p.add_argument("--log-csv", default=None)
     p.add_argument("--plot", default=None)
+    p.add_argument("--scene", default=None,
+                   help="write the final 3-D scene (current/terminal robots, "
+                        "optimized base path, CoP, corner forces) to this PNG")
     p.add_argument("--interactive", action="store_true",
                    help="read vel/gait/pose commands from stdin while running")
     p.add_argument("--gui", action="store_true",
