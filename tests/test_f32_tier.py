@@ -53,6 +53,30 @@ def test_walking_sqp_f32():
     assert float(sol.g_norm) < 0.5
 
 
+def test_walking_sqp_pallas_riccati_f32():
+    """The TPU production path (fused Pallas Riccati kernel,
+    ops/riccati.py) vs the lax.scan pair, on the real walking-schedule
+    whole-body problem in f32 — the exact code the bench runs on-chip."""
+    N = 28
+    with jax.enable_x64(False):
+        cfg, model, ocp, x0s, init, params, lam = _walking_problem(N, 1)
+        x0, init, params, lam = _to_f32((x0s[0], jax.tree.map(lambda a: a[0], init),
+                                         jax.tree.map(lambda a: a[0], params), lam[0]))
+        sols = {}
+        for backend in ("scan", "interpret"):
+            scfg = SqpSolverConfig(n_nodes=N, dt=cfg.sqp.dt, sqp_iterations=2,
+                                   sensitivity="node", rollout_backend=backend)
+            solve = jax.jit(make_sqp_solver(ocp, model.flow_map,
+                                            ocp.barrier_params(), scfg))
+            sols[backend] = jax.block_until_ready(
+                solve(0.0, x0, init, params, lam))
+    xs_s = np.asarray(sols["scan"].traj.xs)
+    xs_p = np.asarray(sols["interpret"].traj.xs)
+    assert np.isfinite(xs_p).all()
+    assert float(sols["interpret"].step_size) > 0.0
+    np.testing.assert_allclose(xs_p, xs_s, atol=5e-3 * max(1.0, np.abs(xs_s).max()))
+
+
 @pytest.mark.slow
 def test_sharded_sqp_matches_vmapped_f32():
     """The driver's multichip gate, verbatim numerics: f32, walking schedule,

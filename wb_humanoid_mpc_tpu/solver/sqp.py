@@ -33,18 +33,14 @@ import jax
 import jax.numpy as jnp
 
 from wb_humanoid_mpc_tpu.ocp.base import BarrierParams
-from wb_humanoid_mpc_tpu.ops.rollout import forward_rollout
+from wb_humanoid_mpc_tpu.ops.riccati import riccati_rollout
 from wb_humanoid_mpc_tpu.solver.linesearch import filter_accept
 from wb_humanoid_mpc_tpu.solver.priccati import (
     parallel_backward_pass,
     parallel_forward_pass,
 )
 from wb_humanoid_mpc_tpu.solver.projection import project_lq, recover_controls
-from wb_humanoid_mpc_tpu.solver.riccati import (
-    backward_pass,
-    forward_pass,
-    levenberg_damp,
-)
+from wb_humanoid_mpc_tpu.solver.riccati import levenberg_damp
 from wb_humanoid_mpc_tpu.solver.transcription import (
     LQApprox,
     Trajectory,
@@ -107,10 +103,10 @@ class SqpSolverConfig:
     line_search: str = "filter"
     filter_g_max: float = 1e-2  # reference task.info multiple_shooting.g_max
     filter_g_min: float = 1e-6  # reference task.info multiple_shooting.g_min
-    # LQ forward rollout backend: "auto" = single Pallas kernel on TPU
-    # (ops/rollout.py, the whole recursion in one launch), lax.scan
-    # elsewhere; "scan" forces XLA; "interpret" runs the Pallas kernel in
-    # interpret mode (CPU equivalence tests).
+    # LQ-solve backend: "auto" = the fused backward-Riccati + forward-
+    # rollout Pallas kernel on TPU (ops/riccati.py, the whole QP solve in
+    # one launch), lax.scan pair elsewhere; "scan" forces XLA; "interpret"
+    # runs the Pallas kernel in interpret mode (CPU equivalence tests).
     rollout_backend: str = "auto"
 
 
@@ -147,8 +143,9 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
                 sol = parallel_backward_pass(reduced, cfg.reg_num)
                 dxs, dzs = parallel_forward_pass(reduced, sol, dx0)
             else:
-                sol = backward_pass(reduced, cfg.reg_num)
-                dxs, dzs = forward_rollout(reduced, sol, dx0,
+                # fused backward-Riccati + forward-rollout Pallas kernel on
+                # TPU (ops/riccati.py, ONE launch); lax.scan pair elsewhere
+                dxs, dzs = riccati_rollout(reduced, dx0, cfg.reg_num,
                                            cfg.rollout_backend)
             dus = recover_controls(proj, dxs, dzs)
         else:
@@ -157,8 +154,7 @@ def make_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig) -> Calla
                 sol = parallel_backward_pass(lq_d, cfg.reg_num)
                 dxs, dus = parallel_forward_pass(lq_d, sol, dx0)
             else:
-                sol = backward_pass(lq_d, cfg.reg_num)
-                dxs, dus = forward_rollout(lq_d, sol, dx0,
+                dxs, dus = riccati_rollout(lq_d, dx0, cfg.reg_num,
                                            cfg.rollout_backend)
 
         if cfg.line_search == "filter":
@@ -308,8 +304,7 @@ def make_staged_sqp_solver(ocp, flow, bp: BarrierParams, cfg: SqpSolverConfig):
         if cfg.parallel_riccati:
             sol = parallel_backward_pass(reduced, cfg.reg_num)
             return parallel_forward_pass(reduced, sol, dx0)
-        sol = backward_pass(reduced, cfg.reg_num)
-        return forward_rollout(reduced, sol, dx0, cfg.rollout_backend)
+        return riccati_rollout(reduced, dx0, cfg.reg_num, cfg.rollout_backend)
 
     @jax.jit
     def f_linesearch(traj, times, params, lam, c0, v0, dxs, dus):
